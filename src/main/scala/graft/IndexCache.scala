@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.Indexer
+import graft.io.Catalog
+
+/** Per-JVM cache of indexes built over a testdata sfDir, so the many
+  * index-backed SparkEntry.queries entries share one build per Verify/Bench
+  * run instead of rebuilding per query.
+  *
+  * The cache dir is keyed by a per-JVM tag: stale indexes from an older code
+  * version can never be picked up across driver invocations.
+  */
+object IndexCache {
+
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+  private val built = scala.collection.mutable.Map[String, Indexer.BuildResult]()
+
+  /** Sandbox-scale knobs: targetRun small enough that the sf0.01 head terms
+    * (df ≈ 400) actually exercise salting; buckets = 16.
+    */
+  val Buckets = 16
+  val TargetRun = 256L
+
+  def documentsIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"/tmp/graft-index-$jvmTag/$key/documents"
+        Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+          buckets = Buckets, targetRun = TargetRun)
+      })
+    }
+}

@@ -1,13 +1,111 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{DocIds, TermFreqs}
+import graft.io.Catalog
+import graft.search.{Booleans, BruteForce, SearchEngine}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is runnable standalone over the sfDir parquet
+  * tables; every key with a [[oracleSql]] twin is replayed by the driver in
+  * DuckDB on the same files and compared. Column names/aliases match the SQL
+  * exactly (the compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // The reference query set over `documents` (FIXTURES.md §Q): head terms
+  // join/hash/row; mid window/stream; zebra is out-of-vocabulary.
+  private val K = 10
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * index-backed BM25 top-10 for the validated 3-term query.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    SearchEngine.topKExhaustiveRounded(spark, idx.paths.root,
+      Seq("join", "window", "vector"), K)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- BM25 top-k: engine (index) path -----------------------------------
+    "bm25_topk" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("join", "window", "vector"), K)
+    }),
+    "bm25_single_term" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("join"), K)
+    }),
+    "bm25_partial_miss" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("join", "zebra"), K)
+    }),
+    "bm25_empty" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("zebra"), K)
+    }),
+    // --- BM25 top-k: brute-force oracle twin (no index) ---------------------
+    "bm25_topk_brute" -> ((s, dir) =>
+      BruteForce.topKRounded(Catalog.readDocuments(s, dir).toDF(), Seq("window", "stream"), K)),
+    "bm25_low_idf_brute" -> ((s, dir) =>
+      BruteForce.topKRounded(Catalog.readDocuments(s, dir).toDF(), Seq("the", "a"), K)),
+    // --- boolean filters over the index -------------------------------------
+    "bool_and" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Booleans.and(s, idx.paths.root, Seq("join", "hash"))
+    }),
+    "bool_and_not" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Booleans.andNot(s, idx.paths.root, "join", "window")
+    }),
+    // --- index artifacts vs from-scratch SQL --------------------------------
+    "term_stats" -> ((s, dir) => {
+      import s.implicits._
+      val idx = IndexCache.documentsIndex(s, dir)
+      Catalog.readDictionary(s, idx.paths).toDF()
+        .select($"term", $"df", $"cf").orderBy($"term")
+    }),
+    "corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      val idx = IndexCache.documentsIndex(s, dir)
+      s.read.parquet(idx.paths.corpusStats)
+        .select($"n_docs", $"total_tokens", round($"avgdl", 6).as("avgdl_r6"))
+    }),
+    // --- tokenize + tf extraction (typed transform) -------------------------
+    "term_freqs" -> ((s, dir) => {
+      import s.implicits._
+      TermFreqs.fromDocs(Catalog.readDocuments(s, dir)).toDF()
+        .select($"doc_id", $"term", $"tf".cast("long").as("tf"))
+        .orderBy($"doc_id", $"term")
+    }),
+    // --- dense stable docID assignment (shuffle-aware two-pass zip) ---------
+    "dense_ids" -> ((s, dir) => {
+      DocIds.denseIds(
+        Catalog.readTable(s, dir, "documents").select("doc_id", "source"),
+        Seq("source", "doc_id"),
+        s.sessionState.conf.numShufflePartitions)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "bm25_topk" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K),
+    "bm25_single_term" -> OracleSql.bm25TopK(Seq("join"), K),
+    "bm25_partial_miss" -> OracleSql.bm25TopK(Seq("join", "zebra"), K),
+    "bm25_empty" -> OracleSql.bm25TopK(Seq("zebra"), K),
+    "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
+    "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),
+    "bool_and" -> OracleSql.boolAnd(Seq("join", "hash")),
+    "bool_and_not" -> OracleSql.boolAndNot("join", "window"),
+    "term_stats" -> OracleSql.termStats,
+    "corpus_stats" -> OracleSql.corpusStats,
+    "term_freqs" -> OracleSql.termFreqs,
+    "dense_ids" -> OracleSql.denseIds,
+  )
 }

@@ -49,48 +49,60 @@ object Blocks {
   def bucketOf(term: String, buckets: Int): Int =
     math.floorMod(term.hashCode, buckets)
 
-  /** Streaming block builder: consumes one (term, run)'s postings in
-    * ascending docID order and emits compressed blocks. O(BlockSize) memory —
+  /** Mutable streaming accumulator for one (term, run): feed postings in
+    * ascending docID order, collect emitted blocks. O(BlockSize) memory —
     * never materializes the whole posting list (SPIMI discipline, IIR §4.3).
+    * Used by the SPIMI mapPartitions encoder where (term, run) groups arrive
+    * as consecutive sorted rows.
     */
+  final class Accumulator(term: String, runId: Int, avgdl: Double, buckets: Int) {
+    private val bucket = bucketOf(term, buckets)
+    private var blockIdx = 0
+    private var n = 0
+    private var maxTf = 0
+    private var maxTfNorm = 0.0
+    private val docs = new Array[Long](BlockSize)
+    private val tfs = new Array[Int](BlockSize)
+    private val dls = new Array[Int](BlockSize)
+
+    /** Add one posting; returns a completed block when one fills. */
+    def add(doc: Long, tf: Int, dl: Int): Option[PostingBlock] = {
+      docs(n) = doc; tfs(n) = tf; dls(n) = dl
+      if (tf > maxTf) maxTf = tf
+      val tn = Bm25.tfNorm(tf, dl.toLong, avgdl)
+      if (tn > maxTfNorm) maxTfNorm = tn
+      n += 1
+      if (n == BlockSize) Some(emit()) else None
+    }
+
+    /** Emit any final partial block. */
+    def flush(): Option[PostingBlock] = if (n > 0) Some(emit()) else None
+
+    private def emit(): PostingBlock = {
+      val b = PostingBlock(
+        term = term, bucket = bucket, run_id = runId, block_idx = blockIdx,
+        first_doc = docs(0), last_doc = docs(n - 1), n_docs = n,
+        max_tf = maxTf, max_tf_norm = maxTfNorm,
+        doc_deltas_vb = Codec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
+        tfs_vb = Codec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
+        dls_vb = Codec.encodeInts(java.util.Arrays.copyOf(dls, n)))
+      blockIdx += 1
+      n = 0
+      maxTf = 0
+      maxTfNorm = 0.0
+      b
+    }
+  }
+
+  /** Build all blocks for one (term, run) from an ascending-docID iterator. */
   def build(
       term: String,
       runId: Int,
       postings: Iterator[(Long, Int, Int)], // (doc_id, tf, dl) ascending doc_id
       avgdl: Double,
       buckets: Int): Iterator[PostingBlock] = {
-    val bucket = bucketOf(term, buckets)
-    new Iterator[PostingBlock] {
-      private var blockIdx = 0
-      private val docs = new Array[Long](BlockSize)
-      private val tfs = new Array[Int](BlockSize)
-      private val dls = new Array[Int](BlockSize)
-
-      override def hasNext: Boolean = postings.hasNext
-
-      override def next(): PostingBlock = {
-        var n = 0
-        var maxTf = 0
-        var maxTfNorm = 0.0
-        while (n < BlockSize && postings.hasNext) {
-          val (d, tf, dl) = postings.next()
-          docs(n) = d; tfs(n) = tf; dls(n) = dl
-          if (tf > maxTf) maxTf = tf
-          val tn = Bm25.tfNorm(tf, dl.toLong, avgdl)
-          if (tn > maxTfNorm) maxTfNorm = tn
-          n += 1
-        }
-        val idx = blockIdx
-        blockIdx += 1
-        PostingBlock(
-          term = term, bucket = bucket, run_id = runId, block_idx = idx,
-          first_doc = docs(0), last_doc = docs(n - 1), n_docs = n,
-          max_tf = maxTf, max_tf_norm = maxTfNorm,
-          doc_deltas_vb = Codec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
-          tfs_vb = Codec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
-          dls_vb = Codec.encodeInts(java.util.Arrays.copyOf(dls, n)))
-      }
-    }
+    val acc = new Accumulator(term, runId, avgdl, buckets)
+    postings.flatMap { case (d, tf, dl) => acc.add(d, tf, dl) } ++ acc.flush()
   }
 
   def decode(b: PostingBlock): DecodedBlock =

@@ -1,0 +1,103 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.io.Catalog
+import graft.io.Catalog.IndexPaths
+import graft.model._
+
+/** Small per-index metadata (bucket count must match at query time). */
+final case class IndexMeta(buckets: Int, target_run: Long, doc_id_space: Long)
+
+/** Index construction orchestration (SURVEY.md §3.1, stages S2–S4 over an
+  * already doc-keyed corpus; DocIds.assign is stage S1 for transcript input).
+  *
+  * Shuffle census (the whole scaling story — SURVEY.md §3.1):
+  *   1. df/cf groupBy(term) — partial aggregation absorbs head-term skew;
+  *   2. the salted repartition(term, salt) — THE skew-critical exchange,
+  *      bounded per-group by SaltPlan;
+  * plus, for transcripts, the S1 range partition. The dictionary "merge" is
+  * metadata-only: postings are re-read with the binary payload columns
+  * pruned away, so heavy terms never cross a shuffle uncompressed.
+  */
+object Indexer {
+
+  final case class BuildResult(paths: IndexPaths, stats: CorpusStats, meta: IndexMeta)
+
+  def buildFromDocs(
+      docs: Dataset[Doc],
+      root: String,
+      buckets: Int = 16,
+      targetRun: Long = 1 << 20,
+      numPartitionsOpt: Option[Int] = None): BuildResult = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val paths = IndexPaths(root)
+
+    // S2a: doc lengths + corpus stats (includes empty docs in N / avgdl)
+    val dls = TermFreqs.docLengths(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = TermFreqs.corpusStats(dls)
+    val docIdSpace = {
+      val r = dls.toDF("doc_id", "dl").agg(max($"doc_id")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
+    dls.unpersist(blocking = false)
+
+    // S2b: term frequencies (narrow) — used by both df/cf agg and SPIMI
+    val tf = TermFreqs.fromDocs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val tstats = TermFreqs.termStats(tf).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // S3: salt plan + SPIMI encode + bucketed sink
+    val heavy = SaltPlan.heavyTerms(tstats, targetRun)
+    val salted = SaltPlan.salt(tf, heavy, docIdSpace)
+    val blocks = Spimi.buildBlocks(salted, stats.avgdl, buckets, numPartitions)
+    Catalog.writePostings(blocks, paths)
+    tf.unpersist(blocking = false)
+
+    // S4: dictionary merge — metadata-only columns read back from the sink
+    // (column pruning skips the VByte payloads), joined with exact df/cf.
+    val blockAgg = spark.read.parquet(paths.postings)
+      .groupBy($"term")
+      .agg(max($"max_tf_norm").as("max_tf_norm"))
+    val dict = tstats.toDF()
+      .join(blockAgg, Seq("term"))
+      .select($"term", $"df", $"cf", $"max_tf_norm")
+      .as[DictEntry]
+    Catalog.writeDictionary(dict, paths)
+    tstats.unpersist(blocking = false)
+
+    Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
+    val meta = IndexMeta(buckets, targetRun, docIdSpace)
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$root/meta")
+    BuildResult(paths, stats, meta)
+  }
+
+  /** Transcript-corpus build: S1 docID assignment first, docid_map written
+    * alongside the segments.
+    */
+  def buildFromTurns(
+      turns: Dataset[Turn],
+      root: String,
+      buckets: Int = 16,
+      targetRun: Long = 1 << 20,
+      numPartitionsOpt: Option[Int] = None): BuildResult = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val numbered = DocIds.assign(turns, numPartitions).persist(StorageLevel.MEMORY_AND_DISK)
+    val paths = IndexPaths(root)
+    Catalog.writeDocidMap(DocIds.toDocidMap(numbered), paths)
+    val res = buildFromDocs(numbered.map(t => Doc(t.doc_id, t.text)), root, buckets,
+      targetRun, Some(numPartitions))
+    numbered.unpersist(blocking = false)
+    res
+  }
+
+  def readMeta(spark: SparkSession, root: String): IndexMeta = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/meta").as[IndexMeta].head()
+  }
+}

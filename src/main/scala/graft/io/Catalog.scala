@@ -1,0 +1,127 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+import graft.core.PostingBlock
+import graft.model._
+
+/** Table-format abstraction (SURVEY.md §2 rows 1, 13).
+  *
+  * Production design targets Iceberg (`spark.read.table` / `writeTo(...)
+  * .append()`, hidden partitioning `bucket(B, term)`, snapshot-id
+  * fingerprints). The sandbox has no Iceberg runtime jar (offline resolver),
+  * so the same semantics are implemented over Parquet: explicit `bucket`
+  * partition column (→ partition pruning), directory layout as table
+  * identity, file-listing content hash as the snapshot fingerprint.
+  * All semantics below are format-independent; swapping in Iceberg touches
+  * only this file.
+  */
+object Catalog {
+
+  /** Index segment layout under one root. */
+  final case class IndexPaths(root: String) {
+    def postings: String = s"$root/postings"
+    def dictionary: String = s"$root/dictionary"
+    def corpusStats: String = s"$root/corpus_stats"
+    def docidMap: String = s"$root/docid_map"
+    def manifests: String = s"$root/manifests"
+    def metrics: String = s"$root/metrics"
+    def termFreqs: String = s"$root/term_freqs" // materialized S2 intermediate
+    def docLengths: String = s"$root/doc_lengths"
+  }
+
+  // ---- corpus sources ------------------------------------------------------
+
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The DuckDB-oracled corpus: documents(doc_id, text, …). */
+  def readDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    readTable(spark, sfDir, "documents").select($"doc_id", $"text").as[Doc]
+  }
+
+  /** North-rule transcript corpus from a parquet/JSONL table of turns. */
+  def readTurnsParquet(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .as[Turn]
+  }
+
+  /** JSONL transcript ingest with an explicit (never inferred) schema. */
+  def readTurnsJsonl(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Turn].schema
+    spark.read.schema(schema).json(path).as[Turn]
+  }
+
+  // ---- index segments ------------------------------------------------------
+
+  /** Postings sink: bucketed by `bucket` (→ query-time partition pruning on
+    * the query terms' buckets), rows sorted by (term, run_id, block_idx)
+    * within partitions so Parquet row-group min/max stats on `term` make the
+    * `term IN (…)` pushdown selective inside each bucket.
+    */
+  def writePostings(blocks: Dataset[PostingBlock], paths: IndexPaths): Unit = {
+    import blocks.sparkSession.implicits._
+    blocks
+      .sortWithinPartitions($"bucket", $"term", $"run_id", $"block_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(paths.postings)
+  }
+
+  def readPostings(spark: SparkSession, paths: IndexPaths): Dataset[PostingBlock] = {
+    import spark.implicits._
+    spark.read.parquet(paths.postings)
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "max_tf", "max_tf_norm", "doc_deltas_vb", "tfs_vb", "dls_vb")
+      .as[PostingBlock]
+  }
+
+  def writeDictionary(dict: Dataset[DictEntry], paths: IndexPaths): Unit =
+    dict.write.mode(SaveMode.Overwrite).parquet(paths.dictionary)
+
+  def readDictionary(spark: SparkSession, paths: IndexPaths): Dataset[DictEntry] = {
+    import spark.implicits._
+    spark.read.parquet(paths.dictionary).as[DictEntry]
+  }
+
+  def writeCorpusStats(stats: Dataset[CorpusStats], paths: IndexPaths): Unit =
+    stats.write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
+
+  def readCorpusStats(spark: SparkSession, paths: IndexPaths): CorpusStats = {
+    import spark.implicits._
+    spark.read.parquet(paths.corpusStats).as[CorpusStats].head()
+  }
+
+  def writeDocidMap(m: Dataset[DocIdEntry], paths: IndexPaths): Unit =
+    m.write.mode(SaveMode.Overwrite).parquet(paths.docidMap)
+
+  def readDocidMap(spark: SparkSession, paths: IndexPaths): Dataset[DocIdEntry] = {
+    import spark.implicits._
+    spark.read.parquet(paths.docidMap).as[DocIdEntry]
+  }
+
+  /** Snapshot fingerprint of an input directory — Iceberg snapshot-id stand-in:
+    * hash over (relative path, length, mtime) of every data file.
+    */
+  def fingerprint(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path).toAbsolutePath.normalize()
+    if (!Files.exists(p)) return "absent"
+    val entries =
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala
+          .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
+          .toSeq
+      else Seq(p)
+    val desc = entries
+      .map(f => s"${p.relativize(f.toAbsolutePath.normalize())}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .sorted.mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.index.Indexer
+import graft.io.Catalog
+import graft.io.Catalog.IndexPaths
+import graft.model.Hit
+
+/** Index-backed BM25 top-k (SURVEY.md §3.2).
+  *
+  * Query path:
+  *   1. driver: analyze query (same Analyzer as indexing), load dictionary
+  *      rows for the query terms + corpus stats (a few rows), compute idf,
+  *      broadcast the QueryModel;
+  *   2. executors: postings scan pruned to the query terms' buckets
+  *      (partition pruning on the `bucket` dir column) and `term ∈ terms`
+  *      (predicate pushdown to Parquet row groups — postings are written
+  *      term-sorted within files);
+  *   3. score (exhaustive decode here; Wand adds block-max skipping);
+  *   4. global `orderBy(score DESC, doc_id ASC).limit(k)` —
+  *      TakeOrderedAndProjectExec, ≤ partitions·k rows cross to the driver.
+  */
+object SearchEngine {
+
+  /** Load per-term stats and build the broadcastable query model. */
+  def queryModel(spark: SparkSession, paths: IndexPaths, rawTerms: Seq[String],
+      k: Int): QueryModel = {
+    import spark.implicits._
+    val terms = rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted
+    if (terms.isEmpty) return QueryModel(Array.empty, Array.empty, 0.0, k)
+    val stats = Catalog.readCorpusStats(spark, paths)
+    val dfByTerm = Catalog.readDictionary(spark, paths)
+      .filter($"term".isin(terms: _*))
+      .collect()
+      .map(d => d.term -> d.df)
+      .toMap
+    QueryModel.build(terms, stats.n_docs, dfByTerm, stats.avgdl, k)
+  }
+
+  /** Postings scan restricted to the query terms (bucket pruning + term
+    * pushdown).
+    */
+  private def queryPostings(spark: SparkSession, paths: IndexPaths,
+      qm: QueryModel, buckets: Int) = {
+    import spark.implicits._
+    val qBuckets = qm.terms.map(Blocks.bucketOf(_, buckets)).distinct.toSeq
+    Catalog.readPostings(spark, paths)
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(qm.terms.toSeq: _*))
+  }
+
+  /** Exhaustive index scorer: decode every matching block, shuffle
+    * (doc_id, term, contribution) and sum per doc in sorted-term order
+    * (fixed summation order ⇒ bit-deterministic across parallelism).
+    * The WAND path beats this by skipping blocks; this one is its always-on
+    * correctness shadow (SURVEY.md §7.3-7).
+    */
+  def topKExhaustive(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val qm = queryModel(spark, paths, rawTerms, k)
+    if (qm.isEmpty) return emptyHits(spark)
+    val bcQm = spark.sparkContext.broadcast(qm)
+
+    val contribs = queryPostings(spark, paths, qm, meta.buckets)
+      .flatMap { b =>
+        val qmv = bcQm.value
+        val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
+        if (ti < 0) Iterator.empty
+        else {
+          val idf = qmv.idfs(ti)
+          val d = Blocks.decode(b)
+          val n = d.docs.length
+          val out = new Array[(Long, Int, Double)](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (d.docs(i), ti, idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, qmv.avgdl))
+            i += 1
+          }
+          out.iterator
+        }
+      }
+
+    contribs
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        // fixed summation order: sort contributions by term index
+        val arr = it.toArray.sortBy(_._2)
+        var s = 0.0
+        var i = 0
+        while (i < arr.length) { s += arr(i)._3; i += 1 }
+        Hit(docId, s)
+      }
+      .toDF()
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  /** Driver-contract shape: rounded scores (see BruteForce.topKRounded). */
+  def topKExhaustiveRounded(spark: SparkSession, root: String,
+      rawTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    topKExhaustive(spark, root, rawTerms, k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  private[search] def emptyHits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Hit].toDF()
+  }
+
+  /** Hydration: join top-k hits back to the docid map (broadcast — k rows). */
+  def hydrate(spark: SparkSession, root: String, hits: DataFrame): DataFrame = {
+    val m = Catalog.readDocidMap(spark, IndexPaths(root)).toDF()
+    broadcast(hits).join(m, "doc_id")
+  }
+}
