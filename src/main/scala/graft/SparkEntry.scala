@@ -25,7 +25,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
-    SearchEngine.topKExhaustiveRounded(spark, idx.paths.root,
+    SearchEngine.topKWandRounded(spark, idx.paths.root,
       Seq("join", "window", "vector"), K)
   }
 
@@ -34,19 +34,19 @@ object SparkEntry {
     // --- BM25 top-k: engine (index) path -----------------------------------
     "bm25_topk" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
-      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("join", "window", "vector"), K)
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("join", "window", "vector"), K)
     }),
     "bm25_single_term" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
-      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("join"), K)
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("join"), K)
     }),
     "bm25_partial_miss" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
-      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("join", "zebra"), K)
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("join", "zebra"), K)
     }),
     "bm25_empty" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
-      SearchEngine.topKExhaustiveRounded(s, idx.paths.root, Seq("zebra"), K)
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("zebra"), K)
     }),
     // --- BM25 top-k: brute-force oracle twin (no index) ---------------------
     "bm25_topk_brute" -> ((s, dir) =>

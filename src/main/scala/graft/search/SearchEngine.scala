@@ -108,6 +108,64 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** Block-Max WAND top-k (SURVEY.md §3.2) — the production query path.
+    *
+    * The index is term-bucketed on disk (scan pruning) but scoring is
+    * document-at-a-time, so the matching blocks are re-grouped into docID
+    * range shards: every query term's postings for shard s meet in one group,
+    * Wand.scoreShard runs per shard with exact block-max skipping, and only
+    * ≤ shards·k candidate rows reach the global TakeOrderedAndProject.
+    * Only the query terms' (compressed) blocks ever cross this shuffle; the
+    * salted runs are already range-disjoint so per-shard block lists stay
+    * sorted-by-first_doc after a local sort. Shard count scales with
+    * parallelism, independent of k and corpus size.
+    */
+  def topKWand(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int, shardsOpt: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val qm = queryModel(spark, paths, rawTerms, k)
+    if (qm.isEmpty) return emptyHits(spark)
+    val bcQm = spark.sparkContext.broadcast(qm)
+    val shards = shardsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val width = math.max(1L, (meta.doc_id_space + shards - 1) / shards)
+
+    queryPostings(spark, paths, qm, meta.buckets)
+      .flatMap { b =>
+        // a ≤128-doc block rarely spans more than one width-sized shard
+        ((b.first_doc / width) to (b.last_doc / width)).iterator
+          .map(s => (s.toInt, b))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val qmv = bcQm.value
+        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+        val lo = shard.toLong * width
+        val hi = lo + width
+        val cursors = new scala.collection.mutable.ArrayBuffer[Wand.TermCursor](qmv.terms.length)
+        var ti = 0
+        while (ti < qmv.terms.length) {
+          byTerm.get(qmv.terms(ti)).foreach { bs =>
+            cursors += new Wand.TermCursor(qmv.idfs(ti), bs.sortBy(_.first_doc), qmv.avgdl, hi)
+          }
+          ti += 1
+        }
+        Wand.scoreShard(cursors.toArray, lo, qmv.k).iterator
+      }
+      .toDF()
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  /** Driver-contract shape for the WAND path. */
+  def topKWandRounded(spark: SparkSession, root: String,
+      rawTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    topKWand(spark, root, rawTerms, k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
   private[search] def emptyHits(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[Hit].toDF()

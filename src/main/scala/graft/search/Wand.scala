@@ -1,0 +1,205 @@
+package graft.search
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.core._
+import graft.model.Hit
+
+/** Block-Max WAND top-k BM25 (SURVEY.md §2 row 15; Broder et al. CIKM 2003;
+  * Ding & Suel SIGIR 2011).
+  *
+  * Single-shard document-at-a-time scorer over compressed posting blocks:
+  * pivot selection on per-term upper bounds, shallow block skipping via
+  * per-block `last_doc` + exact `max_tf_norm`, bounded k-heap.
+  *
+  * Rank-safety with the engine's tie order (score DESC, doc_id ASC):
+  * all skip decisions use STRICT `< θ` (a doc scoring exactly θ could still
+  * win its tie on doc_id, so equality is never skipped), and pivot selection
+  * uses `≥ θ`. Scoring sums per-term contributions in sorted-term order —
+  * bit-identical to the exhaustive scorer.
+  */
+object Wand {
+
+  /** Cursor over one term's blocks within a shard. Blocks must be sorted by
+    * first_doc and pairwise disjoint (guaranteed: docID-range salting).
+    * Blocks are decoded lazily on entry; skipped blocks are never decoded.
+    * `hi` restricts the cursor to docs < hi (shard upper bound) so blocks
+    * spanning a shard boundary are not double-scored.
+    */
+  final class TermCursor(
+      val idf: Double,
+      blocks: Array[PostingBlock],
+      avgdl: Double,
+      hi: Long) {
+
+    private var bi = 0
+    private var dec: DecodedBlock = _
+    private var pos = 0
+    var curDoc: Long = -1L
+
+    /** Exact per-shard term upper bound. */
+    val termUB: Double = {
+      var m = 0.0
+      var i = 0
+      while (i < blocks.length) { if (blocks(i).max_tf_norm > m) m = blocks(i).max_tf_norm; i += 1 }
+      idf * m
+    }
+
+    def exhausted: Boolean = curDoc == Long.MaxValue
+
+    /** Position at first doc >= target (no-op if already there). */
+    def seek(target: Long): Unit = {
+      if (curDoc >= target) return
+      while (bi < blocks.length && blocks(bi).last_doc < target) {
+        bi += 1; dec = null; pos = 0
+      }
+      if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+      if (dec == null) { dec = Blocks.decode(blocks(bi)); pos = 0 }
+      while (pos < dec.docs.length && dec.docs(pos) < target) pos += 1
+      // last_doc >= target guarantees a doc >= target exists in this block
+      curDoc = dec.docs(pos)
+      if (curDoc >= hi) curDoc = Long.MaxValue
+    }
+
+    /** Advance one posting. */
+    def next(): Unit = {
+      if (curDoc == Long.MaxValue) return
+      pos += 1
+      if (dec == null || pos >= dec.docs.length) {
+        bi += 1; dec = null; pos = 0
+        if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+        dec = Blocks.decode(blocks(bi))
+      }
+      curDoc = dec.docs(pos)
+      if (curDoc >= hi) curDoc = Long.MaxValue
+    }
+
+    /** Exact contribution at the current position. */
+    def score(): Double = idf * Bm25.tfNorm(dec.tfs(pos), dec.dls(pos).toLong, avgdl)
+
+    /** Shallow block info for target doc d: (blockUB, blockLast) of the first
+      * not-yet-passed block with last_doc >= d; (0, MaxValue) when exhausted.
+      * Never decodes.
+      */
+    def blockInfoFor(d: Long): (Double, Long) = {
+      var i = bi
+      while (i < blocks.length && blocks(i).last_doc < d) i += 1
+      if (i >= blocks.length) (0.0, Long.MaxValue)
+      else (idf * blocks(i).max_tf_norm, blocks(i).last_doc)
+    }
+  }
+
+  /** Bounded top-k heap ordered worst-first: lowest score, then largest doc
+    * (so the peek is exactly the element the next candidate must beat under
+    * (score DESC, doc_id ASC)).
+    */
+  private final class KHeap(k: Int) {
+    private val pq = new java.util.PriorityQueue[Hit](k.max(1),
+      (a: Hit, b: Hit) => {
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) c else java.lang.Long.compare(b.doc_id, a.doc_id)
+      })
+    def full: Boolean = pq.size() >= k
+    def theta: Double = if (full) pq.peek().score else Double.NegativeInfinity
+    def offer(doc: Long, score: Double): Unit = {
+      if (!full) pq.add(Hit(doc, score))
+      else {
+        val w = pq.peek()
+        if (score > w.score || (score == w.score && doc < w.doc_id)) {
+          pq.poll(); pq.add(Hit(doc, score))
+        }
+      }
+    }
+    def drain(): ArrayBuffer[Hit] = {
+      val out = new ArrayBuffer[Hit](pq.size())
+      while (!pq.isEmpty) out += pq.poll()
+      out
+    }
+  }
+
+  /** Score one shard; returns its local top-k (unordered). `cursors` must be
+    * in sorted-term order (fixed summation order).
+    */
+  def scoreShard(cursors: Array[TermCursor], lo: Long, k: Int): Seq[Hit] = {
+    if (k <= 0 || cursors.isEmpty) return Nil
+    val heap = new KHeap(k)
+    var i = 0
+    while (i < cursors.length) { cursors(i).seek(lo); i += 1 }
+
+    val live = new ArrayBuffer[TermCursor](cursors.length)
+    var done = false
+    while (!done) {
+      live.clear()
+      var j = 0
+      while (j < cursors.length) {
+        if (!cursors(j).exhausted) live += cursors(j)
+        j += 1
+      }
+      if (live.isEmpty) done = true
+      else {
+        val sorted = live.sortBy(_.curDoc)
+        val theta = heap.theta
+        // pivot: first p with cumulative term UB >= theta
+        var cum = 0.0
+        var p = -1
+        var s = 0
+        while (p < 0 && s < sorted.length) {
+          cum += sorted(s).termUB
+          if (cum >= theta) p = s
+          s += 1
+        }
+        if (p < 0) done = true // total UB < theta: nothing left can qualify
+        else {
+          val pivot = sorted(p).curDoc
+          // extend pivot over cursors sharing the same curDoc
+          while (p + 1 < sorted.length && sorted(p + 1).curDoc == pivot) p += 1
+          // shallow block-max check over terms 0..p
+          var bub = 0.0
+          var minLast = Long.MaxValue
+          var q = 0
+          while (q <= p) {
+            val (ub, last) = sorted(q).blockInfoFor(pivot)
+            bub += ub
+            if (last < minLast) minLast = last
+            q += 1
+          }
+          if (bub < theta) {
+            // rank-safe skip: no doc in [pivot, minLast] (terms 0..p only)
+            // can reach theta; jump past the tightest block boundary, capped
+            // by the next pivot candidate beyond p.
+            val nextCur = if (p + 1 < sorted.length) sorted(p + 1).curDoc else Long.MaxValue
+            val jump0 = if (minLast == Long.MaxValue) Long.MaxValue else minLast + 1
+            val dNew = math.min(jump0, nextCur)
+            var r = 0
+            while (r <= p) { sorted(r).seek(dNew); r += 1 }
+          } else {
+            var allAtPivot = true
+            var r = 0
+            while (r < p) { if (sorted(r).curDoc != pivot) allAtPivot = false; r += 1 }
+            if (allAtPivot) {
+              // exact evaluation in original (sorted-term) cursor order
+              var sc = 0.0
+              var t = 0
+              while (t < cursors.length) {
+                if (cursors(t).curDoc == pivot) sc += cursors(t).score()
+                t += 1
+              }
+              heap.offer(pivot, sc)
+              t = 0
+              while (t < cursors.length) {
+                if (cursors(t).curDoc == pivot) cursors(t).next()
+                t += 1
+              }
+            } else {
+              // cursors 0..p-1 hold all docs < pivot and their UB sum < theta:
+              // advancing them to pivot is rank-safe
+              r = 0
+              while (r < p) { sorted(r).seek(pivot); r += 1 }
+            }
+          }
+        }
+      }
+    }
+    heap.drain().toSeq
+  }
+}

@@ -1,0 +1,73 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Fixtures, IndexCache, TestSpark}
+import graft.index.Indexer
+import graft.io.Catalog
+
+/** WAND must EQUAL the exhaustive scorer — never approximate it
+  * (SURVEY.md §7.3-7). Shadow-tested on the real documents corpus and on the
+  * skewed synthetic transcript corpus, across head/tail/mixed/absent/marker
+  * queries and multiple k.
+  */
+class WandSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("WAND bit-identical to exhaustive on documents corpus") {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    val vocab = ("a agg batch big column customer data dup fast filter group hash join key " +
+      "line merge order part query row scan slow small sort spark stream table the value " +
+      "vector window").split(' ')
+    val rng = new java.util.Random(7)
+    val queries =
+      (1 to 12).map { _ =>
+        Seq.fill(1 + rng.nextInt(4))(vocab(rng.nextInt(vocab.length)))
+      } ++ Seq(Seq("zebra"), Seq("join", "zebra"), vocab.toSeq) // all 31 terms
+    for (q <- queries; k <- Seq(1, 5, 10, 50)) {
+      val w = hits(SearchEngine.topKWand(spark, idx.paths.root, q, k))
+      val e = hits(SearchEngine.topKExhaustive(spark, idx.paths.root, q, k))
+      assert(w == e, s"WAND != exhaustive for q=$q k=$k")
+    }
+  }
+
+  test("WAND on skewed transcripts: identical to exhaustive and brute force") {
+    import spark.implicits._
+    val turns = Fixtures.sfTest.toDS()
+    val root = s"/tmp/graft-test-wand-${System.nanoTime()}"
+    // targetRun=512 => head terms (df≈thousands) salt into many runs
+    val res = Indexer.buildFromTurns(turns, root, buckets = 8, targetRun = 512)
+    assert(res.stats.n_docs == 5000)
+
+    val numberedDocs = Catalog.readDocidMap(spark, res.paths).toDF()
+      .join(turns.toDF(), Seq("conv_id", "turn_idx"))
+      .select($"doc_id", $"text")
+
+    for (q <- Fixtures.refQueries; k <- Seq(10)) {
+      val w = hits(SearchEngine.topKWand(spark, root, q, k))
+      val e = hits(SearchEngine.topKExhaustive(spark, root, q, k))
+      assert(w == e, s"WAND != exhaustive for q=$q")
+      val b = hits(BruteForce.topK(numberedDocs, q, k))
+      assert(w.map(_._1) == b.map(_._1), s"WAND rank != brute force for q=$q")
+      w.zip(b).foreach { case ((_, sw), (_, sb)) =>
+        assert(math.abs(sw - sb) <= 1e-9 * math.max(1.0, math.abs(sb)),
+          s"score mismatch for $q: $sw vs $sb")
+      }
+    }
+  }
+
+  test("WAND unaffected by shard count") {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    val q = Seq("join", "window", "vector")
+    val ref = hits(SearchEngine.topKWand(spark, idx.paths.root, q, 10, Some(1)))
+    for (shards <- Seq(2, 3, 7, 64)) {
+      val got = hits(SearchEngine.topKWand(spark, idx.paths.root, q, 10, Some(shards)))
+      assert(got == ref, s"shards=$shards changed results")
+    }
+  }
+}
