@@ -4,17 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions.{col, spark_partition_id}
 import org.apache.spark.storage.StorageLevel
 
-import graft.model.{DocIdEntry, Turn}
-
-/** A turn with its assigned dense docID (stage S1 output). */
-final case class NumberedTurn(
-    doc_id: Long,
-    conv_id: String,
-    turn_idx: Int,
-    role: String,
-    text: String,
-    tool: String,
-    ts: java.sql.Timestamp)
+import graft.model.{DocIdEntry, NumberedTurn, Turn}
 
 /** Dense stable docID assignment (SURVEY.md §2 row 4).
   *

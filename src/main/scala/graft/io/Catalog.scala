@@ -28,6 +28,9 @@ object Catalog {
     def metrics: String = s"$root/metrics"
     def termFreqs: String = s"$root/term_freqs" // materialized S2 intermediate
     def docLengths: String = s"$root/doc_lengths"
+    def termStats: String = s"$root/term_stats"
+    def corpusSorted: String = s"$root/corpus_sorted" // S1 output (numbered turns)
+    def meta: String = s"$root/meta"
   }
 
   // ---- corpus sources ------------------------------------------------------
@@ -94,6 +97,12 @@ object Catalog {
   def readCorpusStats(spark: SparkSession, paths: IndexPaths): CorpusStats = {
     import spark.implicits._
     spark.read.parquet(paths.corpusStats).as[CorpusStats].head()
+  }
+
+  /** S1 output: the docID-numbered, range-sorted corpus. */
+  def readNumbered(spark: SparkSession, paths: IndexPaths): Dataset[NumberedTurn] = {
+    import spark.implicits._
+    spark.read.parquet(paths.corpusSorted).as[NumberedTurn]
   }
 
   def writeDocidMap(m: Dataset[DocIdEntry], paths: IndexPaths): Unit =

@@ -21,6 +21,16 @@ final case class Turn(
 /** Dense stable docID: 0-based rank under lexicographic (conv_id, turn_idx). */
 final case class DocIdEntry(doc_id: Long, conv_id: String, turn_idx: Int)
 
+/** A turn with its assigned dense docID (stage S1 output). */
+final case class NumberedTurn(
+    doc_id: Long,
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
 /** A corpus document after docID assignment: what indexing consumes. */
 final case class Doc(doc_id: Long, text: String)
 

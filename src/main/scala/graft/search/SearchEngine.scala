@@ -171,9 +171,16 @@ object SearchEngine {
     spark.emptyDataset[Hit].toDF()
   }
 
-  /** Hydration: join top-k hits back to the docid map (broadcast — k rows). */
+  /** Hydration: join top-k hits back to the corpus (broadcast — k rows).
+    * Uses the numbered corpus (role/text/tool) when the index was built by
+    * IndexBuildJob; falls back to the bare docid map.
+    */
   def hydrate(spark: SparkSession, root: String, hits: DataFrame): DataFrame = {
-    val m = Catalog.readDocidMap(spark, IndexPaths(root)).toDF()
+    val paths = IndexPaths(root)
+    val m =
+      if (new java.io.File(paths.corpusSorted).exists())
+        Catalog.readNumbered(spark, paths).toDF()
+      else Catalog.readDocidMap(spark, paths).toDF()
     broadcast(hits).join(m, "doc_id")
   }
 }

@@ -1,0 +1,67 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry #2: query a built index.
+  *
+  * {{{
+  * spark-submit --class graft.search.SearchJob <jar> \
+  *   --index <index root> --query "join window vector" [--k 10] \
+  *   [--mode wand|exhaustive] [--hydrate]
+  * }}}
+  */
+object SearchJob {
+
+  final case class Args(
+      index: String = "",
+      query: String = "",
+      k: Int = 10,
+      mode: String = "wand",
+      hydrate: Boolean = false)
+
+  def parse(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--index" => a = a.copy(index = argv(i + 1)); i += 2
+        case "--query" => a = a.copy(query = argv(i + 1)); i += 2
+        case "--k" => a = a.copy(k = argv(i + 1).toInt); i += 2
+        case "--mode" => a = a.copy(mode = argv(i + 1)); i += 2
+        case "--hydrate" => a = a.copy(hydrate = true); i += 1
+        case other => throw new IllegalArgumentException(s"unknown arg: $other")
+      }
+    }
+    require(a.index.nonEmpty && a.query.nonEmpty, "--index and --query are required")
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val b = SparkSession.builder().appName("graft-search")
+    if (!sys.props.contains("spark.master")) b.master("local[*]")
+    val spark = b.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val terms = a.query.split("\\s+").toSeq
+    val hits = a.mode match {
+      case "wand" => SearchEngine.topKWand(spark, a.index, terms, a.k)
+      case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
+      case m => throw new IllegalArgumentException(s"unknown mode $m")
+    }
+    val out = if (a.hydrate) SearchEngine.hydrate(spark, a.index, hits) else hits
+    out.collect().foreach { r =>
+      println(r.schema.fieldNames.zip(r.toSeq)
+        .map { case (n, v) => s""""$n":${format(v)}""" }
+        .mkString("{", ",", "}"))
+    }
+    spark.stop()
+  }
+
+  private def format(v: Any): String = v match {
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case null => "null"
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case x => "\"" + x.toString + "\"" // timestamps etc.
+  }
+}
