@@ -63,6 +63,7 @@ object ScalingBench {
         val s = IndexBuildJob.run(spark, IndexBuildJob.Args(
           input = turnsPath(convs, tpc), output = out, buckets = 32,
           targetRun = 1 << 16, partitions = Some(cores), resume = false))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         println(s"[scaling] cores=$cores $tag turns/sec=${s.turnsPerSec}")
         s.turnsPerSec
       }

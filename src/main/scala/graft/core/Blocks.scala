@@ -32,6 +32,7 @@ final case class PostingBlock(
     last_doc: Long,
     n_docs: Int,
     max_tf: Int,
+    min_dl: Int,
     max_tf_norm: Double,
     doc_deltas_vb: Array[Byte],
     tfs_vb: Array[Byte],
@@ -60,6 +61,7 @@ object Blocks {
     private var blockIdx = 0
     private var n = 0
     private var maxTf = 0
+    private var minDl = Int.MaxValue
     private var maxTfNorm = 0.0
     private val docs = new Array[Long](BlockSize)
     private val tfs = new Array[Int](BlockSize)
@@ -69,6 +71,7 @@ object Blocks {
     def add(doc: Long, tf: Int, dl: Int): Option[PostingBlock] = {
       docs(n) = doc; tfs(n) = tf; dls(n) = dl
       if (tf > maxTf) maxTf = tf
+      if (dl < minDl) minDl = dl
       val tn = Bm25.tfNorm(tf, dl.toLong, avgdl)
       if (tn > maxTfNorm) maxTfNorm = tn
       n += 1
@@ -82,13 +85,14 @@ object Blocks {
       val b = PostingBlock(
         term = term, bucket = bucket, run_id = runId, block_idx = blockIdx,
         first_doc = docs(0), last_doc = docs(n - 1), n_docs = n,
-        max_tf = maxTf, max_tf_norm = maxTfNorm,
+        max_tf = maxTf, min_dl = minDl, max_tf_norm = maxTfNorm,
         doc_deltas_vb = Codec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
         tfs_vb = Codec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
         dls_vb = Codec.encodeInts(java.util.Arrays.copyOf(dls, n)))
       blockIdx += 1
       n = 0
       maxTf = 0
+      minDl = Int.MaxValue
       maxTfNorm = 0.0
       b
     }

@@ -79,7 +79,7 @@ object Catalog {
     import spark.implicits._
     spark.read.parquet(paths.postings)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
-        "n_docs", "max_tf", "max_tf_norm", "doc_deltas_vb", "tfs_vb", "dls_vb")
+        "n_docs", "max_tf", "min_dl", "max_tf_norm", "doc_deltas_vb", "tfs_vb", "dls_vb")
       .as[PostingBlock]
   }
 

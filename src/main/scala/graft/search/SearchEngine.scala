@@ -121,7 +121,7 @@ object SearchEngine {
     * parallelism, independent of k and corpus size.
     */
   def topKWand(spark: SparkSession, root: String, rawTerms: Seq[String],
-      k: Int, shardsOpt: Option[Int] = None): DataFrame = {
+      k: Int, shardsOpt: Option[Int] = None, robustBounds: Boolean = false): DataFrame = {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
@@ -147,7 +147,8 @@ object SearchEngine {
         var ti = 0
         while (ti < qmv.terms.length) {
           byTerm.get(qmv.terms(ti)).foreach { bs =>
-            cursors += new Wand.TermCursor(qmv.idfs(ti), bs.sortBy(_.first_doc), qmv.avgdl, hi)
+            cursors += new Wand.TermCursor(qmv.idfs(ti), bs.sortBy(_.first_doc),
+              qmv.avgdl, hi, robustBounds)
           }
           ti += 1
         }

@@ -30,7 +30,20 @@ object Wand {
       val idf: Double,
       blocks: Array[PostingBlock],
       avgdl: Double,
-      hi: Long) {
+      hi: Long,
+      robustBounds: Boolean = false) {
+
+    /** Block upper bound. Exact mode uses the stored max_tf_norm (computed
+      * at build time against the build avgdl). Robust mode recomputes the
+      * bound from (max_tf, min_dl) against the CURRENT avgdl — required for
+      * incrementally-grown indexes whose stored bounds were computed against
+      * an older (smaller) avgdl and would under-estimate (tfNorm is monotone
+      * increasing in tf, decreasing in dl, increasing in avgdl, so
+      * tfNorm(max_tf, min_dl, avgdl_now) dominates every doc in the block).
+      */
+    @inline private def boundOf(b: PostingBlock): Double =
+      if (robustBounds) idf * Bm25.tfNorm(b.max_tf, b.min_dl.toLong, avgdl)
+      else idf * b.max_tf_norm
 
     private var bi = 0
     private var dec: DecodedBlock = _
@@ -41,8 +54,8 @@ object Wand {
     val termUB: Double = {
       var m = 0.0
       var i = 0
-      while (i < blocks.length) { if (blocks(i).max_tf_norm > m) m = blocks(i).max_tf_norm; i += 1 }
-      idf * m
+      while (i < blocks.length) { val u = boundOf(blocks(i)); if (u > m) m = u; i += 1 }
+      m
     }
 
     def exhausted: Boolean = curDoc == Long.MaxValue
@@ -85,7 +98,7 @@ object Wand {
       var i = bi
       while (i < blocks.length && blocks(i).last_doc < d) i += 1
       if (i >= blocks.length) (0.0, Long.MaxValue)
-      else (idf * blocks(i).max_tf_norm, blocks(i).last_doc)
+      else (boundOf(blocks(i)), blocks(i).last_doc)
     }
   }
 

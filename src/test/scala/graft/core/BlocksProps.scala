@@ -43,7 +43,7 @@ object BlocksProps extends Properties("Blocks") {
         Prop(blocks.forall { b =>
           val d = Blocks.decode(b)
           b.first_doc == d.docs.head && b.last_doc == d.docs.last &&
-            b.max_tf == d.tfs.max &&
+            b.max_tf == d.tfs.max && b.min_dl == d.dls.min &&
             // ∀ doc ∈ block: tfNorm ≤ max_tf_norm, with exact max attained
             d.docs.indices.forall(i =>
               Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, avgdl) <= b.max_tf_norm) &&

