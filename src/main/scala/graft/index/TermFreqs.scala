@@ -21,16 +21,20 @@ object TermFreqs {
       val toks = Analyzer.tokenize(d.text)
       if (toks.isEmpty) Iterator.empty
       else {
-        val m = new java.util.HashMap[String, Int](toks.length * 2)
-        var i = 0
-        while (i < toks.length) {
-          m.merge(toks(i), 1, (a, b) => a + b)
-          i += 1
-        }
+        // sort + run-length count: no per-token hash entries or boxing —
+        // the TF pass dominates build allocation rate at corpus scale
+        java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
         val dl = toks.length
         val docId = d.doc_id
-        import scala.jdk.CollectionConverters._
-        m.entrySet().iterator().asScala.map(e => TermFreqRow(docId, e.getKey, e.getValue, dl))
+        val out = new scala.collection.mutable.ArrayBuffer[TermFreqRow](math.min(dl, 48))
+        var i = 0
+        while (i < dl) {
+          var j = i + 1
+          while (j < dl && toks(j) == toks(i)) j += 1
+          out += TermFreqRow(docId, toks(i), j - i, dl)
+          i = j
+        }
+        out
       }
     }
   }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.search.SearchEngine
+
+/** Physical-plan audit: the plans we designed for are the plans Catalyst
+  * actually produces (pushdown, pruning, broadcast, top-k operator).
+  * Guards against silent plan regressions that would only show up at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  lazy val sfDir = "/root/testdata/sf0.001"
+  lazy val idx = IndexCache.documentsIndex(spark, sfDir)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("postings scan pushes term filter and prunes buckets") {
+    val p = plan(SearchEngine.topKWand(spark, idx.paths.root, Seq("join", "window"), 10))
+    assert(p.contains("PushedFilters") && p.contains("term"),
+      s"expected term pushdown in:\n${p.take(2000)}")
+    // bucket is a partition column => appears as PartitionFilters, not data filter
+    assert(p.contains("PartitionFilters") || p.contains("bucket#"),
+      s"expected bucket partition pruning in:\n${p.take(2000)}")
+  }
+
+  test("postings scan prunes payload columns for boolean ops") {
+    val p = plan(graft.search.Booleans.docsOf(spark, idx.paths.root, "join"))
+    assert(p.contains("doc_deltas_vb") && !p.contains("tfs_vb"),
+      s"boolean path must not read tf/dl payloads:\n${p.take(2000)}")
+  }
+
+  test("global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan(SearchEngine.topKWand(spark, idx.paths.root, Seq("join"), 10))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n${p.take(2000)}")
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan(Relational.topSuppliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n${p.take(2000)}")
+  }
+
+  test("corpus scan prunes to selected columns") {
+    val df = io.Catalog.readDocuments(spark, sfDir).toDF()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("n_chars"), s"unexpected column read:\n${scan.take(1500)}")
+  }
+
+  test("brute-force scorer stays in whole-stage codegen (no UDFs)") {
+    val df = graft.search.BruteForce.topK(
+      io.Catalog.readDocuments(spark, sfDir).toDF(), Seq("join", "window"), 10)
+    df.collect() // AQE: codegen spans only visible in the final executed plan
+    val p = df.queryExecution.executedPlan.toString
+    // AQE final-plan rendering marks whole-stage-codegen stages as "*(n)"
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"expected codegen spans in:\n${p.take(2000)}")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "scoring must be pure Column DSL")
+  }
+}
