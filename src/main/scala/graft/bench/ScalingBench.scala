@@ -64,7 +64,8 @@ object ScalingBench {
           input = turnsPath(convs, tpc), output = out, buckets = 32,
           targetRun = 1 << 16, partitions = Some(cores), resume = false))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-        println(s"[scaling] cores=$cores $tag turns/sec=${s.turnsPerSec}")
+        val walls = s.stageWalls.map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
+        println(s"[scaling] cores=$cores $tag turns/sec=${s.turnsPerSec} | $walls")
         s.turnsPerSec
       }
 

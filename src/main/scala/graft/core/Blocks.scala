@@ -33,6 +33,7 @@ final case class PostingBlock(
     n_docs: Int,
     max_tf: Int,
     min_dl: Int,
+    sum_tf: Long,
     max_tf_norm: Double,
     doc_deltas_vb: Array[Byte],
     tfs_vb: Array[Byte],
@@ -62,6 +63,7 @@ object Blocks {
     private var n = 0
     private var maxTf = 0
     private var minDl = Int.MaxValue
+    private var sumTf = 0L
     private var maxTfNorm = 0.0
     private val docs = new Array[Long](BlockSize)
     private val tfs = new Array[Int](BlockSize)
@@ -72,6 +74,7 @@ object Blocks {
       docs(n) = doc; tfs(n) = tf; dls(n) = dl
       if (tf > maxTf) maxTf = tf
       if (dl < minDl) minDl = dl
+      sumTf += tf
       val tn = Bm25.tfNorm(tf, dl.toLong, avgdl)
       if (tn > maxTfNorm) maxTfNorm = tn
       n += 1
@@ -85,7 +88,7 @@ object Blocks {
       val b = PostingBlock(
         term = term, bucket = bucket, run_id = runId, block_idx = blockIdx,
         first_doc = docs(0), last_doc = docs(n - 1), n_docs = n,
-        max_tf = maxTf, min_dl = minDl, max_tf_norm = maxTfNorm,
+        max_tf = maxTf, min_dl = minDl, sum_tf = sumTf, max_tf_norm = maxTfNorm,
         doc_deltas_vb = Codec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
         tfs_vb = Codec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
         dls_vb = Codec.encodeInts(java.util.Arrays.copyOf(dls, n)))
@@ -93,6 +96,7 @@ object Blocks {
       n = 0
       maxTf = 0
       minDl = Int.MaxValue
+      sumTf = 0L
       maxTfNorm = 0.0
       b
     }

@@ -23,16 +23,19 @@ import graft.model._
   * missing — so corrupting/altering any upstream output cascades re-runs
   * downstream, and an untouched prefix is skipped byte-for-byte.
   *
-  * Stages and their exchanges (4 shuffles total — the scaling story):
+  * Stages and their exchanges (2 corpus-sized shuffles total — the scaling
+  * story; raw TF rows never cross an exchange):
   *   S1 docid_assign  range-exchange on (conv_id, turn_idx) → corpus_sorted,
   *                    docid_map
-  *   S2 stats         narrow tokenize+TF; groupBy(term) agg (partial agg
-  *                    absorbs head-term skew) → term_freqs, doc_lengths,
-  *                    corpus_stats, term_stats
-  *   S3 spimi         salted repartition(term, salt) — the skew-critical
-  *                    exchange, bounded by SaltPlan → postings (bucketed)
-  *   S4 finalize      metadata-only groupBy over postings (payloads pruned)
-  *                    → dictionary, meta
+  *   S2 stats         narrow tokenize pass → corpus_stats (avgdl before
+  *                    encoding — block-max bounds need it)
+  *   S3 spimi         doc-range grid exchange of the corpus (uniform key ⇒
+  *                    skew-free), per-cell in-memory SPIMI inversion,
+  *                    compressed runs → postings (bucketed). This is the
+  *                    docID-range salting of the north star applied at the
+  *                    corpus exchange instead of per-TF-row.
+  *   S4 finalize      the term-keyed merge: metadata-only groupBy over block
+  *                    headers (payloads pruned) → dictionary, meta
   */
 object IndexBuildJob {
 
@@ -70,7 +73,8 @@ object IndexBuildJob {
       wallMs: Long,
       turnsPerSec: Double,
       stagesRun: Seq[String],
-      stagesSkipped: Seq[String])
+      stagesSkipped: Seq[String],
+      stageWalls: Map[String, Long] = Map.empty)
 
   def main(argv: Array[String]): Unit = {
     val b = SparkSession.builder().appName("graft-index-build")
@@ -97,6 +101,10 @@ object IndexBuildJob {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val ran = scala.collection.mutable.ArrayBuffer[String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // metrics batched into ONE write at job end (each tiny write is a whole
+    // Spark job; per-stage writes showed up as fixed overhead in scaling)
+    val pendingMetrics = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    val stageWalls = scala.collection.mutable.LinkedHashMap[String, Long]()
     val t0 = System.nanoTime()
 
     /** Run `body` unless `stage` already completed against `inputFp`. */
@@ -108,7 +116,8 @@ object IndexBuildJob {
         body
         val wallMs = (System.nanoTime() - s0) / 1000000
         Manifests.recordComplete(spark, paths, name, inputFp, outputPath, wallMs)
-        Manifests.metric(spark, paths, runId, name, "wall_ms" -> wallMs.toDouble)
+        pendingMetrics += ((name, "wall_ms", wallMs.toDouble))
+        stageWalls(name) = wallMs
         ran += name
       }
     }
@@ -123,59 +132,57 @@ object IndexBuildJob {
       }
       val numbered = DocIds.assign(turns, parts)
       numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
-      Catalog.writeDocidMap(
-        Catalog.readNumbered(spark, paths).transform(DocIds.toDocidMap), paths)
+      // docid_map from the (persisted) numbered corpus, not a re-read of the
+      // parquet just written
+      Catalog.writeDocidMap(DocIds.toDocidMap(numbered), paths)
     }
 
-    // ---- S2: tokenize + TF + stats ---------------------------------------
+    // ---- S2: corpus stats (avgdl must precede encoding) --------------------
     val s1Fp = Catalog.fingerprint(paths.corpusSorted)
-    stage("stats", s1Fp, paths.termFreqs) {
+    stage("stats", s1Fp, paths.corpusStats) {
       val docs = Catalog.readNumbered(spark, paths).map(t => Doc(t.doc_id, t.text))
-      TermFreqs.fromDocs(docs).write.mode(SaveMode.Overwrite).parquet(paths.termFreqs)
-      TermFreqs.docLengths(docs).toDF("doc_id", "dl")
-        .write.mode(SaveMode.Overwrite).parquet(paths.docLengths)
-      val dls = spark.read.parquet(paths.docLengths).as[(Long, Int)]
-      val stats = TermFreqs.corpusStats(dls)
+      val stats = TermFreqs.corpusStats(TermFreqs.docLengths(docs))
       Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
-      val tf = spark.read.parquet(paths.termFreqs).as[TermFreqRow]
-      TermFreqs.termStats(tf).write.mode(SaveMode.Overwrite).parquet(paths.termStats)
     }
 
-    // ---- S3: salt + SPIMI + bucketed sink --------------------------------
-    val s2Fp = Catalog.fingerprint(paths.termFreqs)
+    // docIDs are dense 0..N−1 by construction (DocIds.assign)
+    lazy val docIdSpace = Catalog.readCorpusStats(spark, paths).n_docs
+
+    // ---- S3: grid SPIMI + bucketed sink ------------------------------------
+    // One doc-range corpus exchange; in-memory inversion per grid cell;
+    // compressed runs out. Skew-free by construction (Spimi.buildBlocksGrid).
+    val s2Fp = s1Fp + "+" + Catalog.fingerprint(paths.corpusStats)
     stage("spimi", s2Fp, paths.postings) {
-      val tf = spark.read.parquet(paths.termFreqs).as[TermFreqRow]
-      val tstats = spark.read.parquet(paths.termStats).as[TermStat]
+      val docs = Catalog.readNumbered(spark, paths).map(t => Doc(t.doc_id, t.text))
       val stats = Catalog.readCorpusStats(spark, paths)
-      val docIdSpace = docIdSpaceOf(spark, paths)
-      val heavy = SaltPlan.heavyTerms(tstats, a.targetRun)
-      val salted = SaltPlan.salt(tf, heavy, docIdSpace)
-      Catalog.writePostings(Spimi.buildBlocks(salted, stats.avgdl, a.buckets, parts), paths)
+      val grids = math.max(parts * 2,
+        math.min(1 << 20, (docIdSpace / math.max(1L, a.targetRun)).toInt + 1))
+      Catalog.writePostings(
+        Spimi.buildBlocksGrid(docs, stats.avgdl, a.buckets, grids, docIdSpace, parts), paths)
     }
 
-    // ---- S4: dictionary + meta (metadata-only merge) ---------------------
+    // ---- S4: dictionary + meta — the term-keyed merge, metadata-only -------
     val s3Fp = Catalog.fingerprint(paths.postings)
     stage("finalize", s3Fp, paths.dictionary) {
-      val tstats = spark.read.parquet(paths.termStats)
-      val blockAgg = spark.read.parquet(paths.postings)
-        .groupBy($"term").agg(max($"max_tf_norm").as("max_tf_norm"))
-      tstats.join(blockAgg, Seq("term"))
+      spark.read.parquet(paths.postings)
+        .groupBy($"term")
+        .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
+          max($"max_tf_norm").as("max_tf_norm"))
         .select($"term", $"df", $"cf", $"max_tf_norm").as[DictEntry]
         .write.mode(SaveMode.Overwrite).parquet(paths.dictionary)
-      Seq(IndexMeta(a.buckets, a.targetRun, docIdSpaceOf(spark, paths)))
+      Seq(IndexMeta(a.buckets, a.targetRun, docIdSpace))
         .toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
     }
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     val nTurns = Catalog.readCorpusStats(spark, paths).n_docs
     val tps = if (wallMs == 0) 0.0 else nTurns * 1000.0 / wallMs
-    Manifests.metric(spark, paths, runId, "total",
-      "wall_ms" -> wallMs.toDouble, "n_turns" -> nTurns.toDouble, "turns_per_sec" -> tps)
-    Summary(runId, nTurns, wallMs, tps, ran.toSeq, skipped.toSeq)
+    pendingMetrics += (("total", "wall_ms", wallMs.toDouble))
+    pendingMetrics += (("total", "n_turns", nTurns.toDouble))
+    pendingMetrics += (("total", "turns_per_sec", tps))
+    Manifests.metric(spark, paths, runId,
+      pendingMetrics.toSeq.map { case (st, k, v) => (st, k, v) }: _*)
+    Summary(runId, nTurns, wallMs, tps, ran.toSeq, skipped.toSeq, stageWalls.toMap)
   }
 
-  private def docIdSpaceOf(spark: SparkSession, paths: IndexPaths): Long = {
-    val r = spark.read.parquet(paths.docLengths).agg(max(col("doc_id"))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
-  }
 }

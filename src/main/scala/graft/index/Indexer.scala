@@ -37,7 +37,8 @@ object Indexer {
     val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val paths = IndexPaths(root)
 
-    // S2a: doc lengths + corpus stats (includes empty docs in N / avgdl)
+    // S2: doc lengths + corpus stats (includes empty docs in N / avgdl);
+    // avgdl must precede encoding (block-max bounds need it)
     val dls = TermFreqs.docLengths(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val stats = TermFreqs.corpusStats(dls)
     val docIdSpace = {
@@ -46,28 +47,24 @@ object Indexer {
     }
     dls.unpersist(blocking = false)
 
-    // S2b: term frequencies (narrow) — used by both df/cf agg and SPIMI
-    val tf = TermFreqs.fromDocs(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val tstats = TermFreqs.termStats(tf).persist(StorageLevel.MEMORY_AND_DISK)
-
-    // S3: salt plan + SPIMI encode + bucketed sink
-    val heavy = SaltPlan.heavyTerms(tstats, targetRun)
-    val salted = SaltPlan.salt(tf, heavy, docIdSpace)
-    val blocks = Spimi.buildBlocks(salted, stats.avgdl, buckets, numPartitions)
+    // S3: grid SPIMI — one doc-range exchange of the corpus, in-memory
+    // inversion per grid cell, compressed runs out (Spimi.buildBlocksGrid).
+    // Grid count ties run size to targetRun when docs are dense (≈1 posting
+    // per doc per term worst case), floored at 2× parallelism for balance.
+    val grids = math.max(numPartitions * 2,
+      math.min(1 << 20, (docIdSpace / math.max(1L, targetRun)).toInt + 1))
+    val blocks = Spimi.buildBlocksGrid(docs, stats.avgdl, buckets, grids, docIdSpace, numPartitions)
     Catalog.writePostings(blocks, paths)
-    tf.unpersist(blocking = false)
 
-    // S4: dictionary merge — metadata-only columns read back from the sink
-    // (column pruning skips the VByte payloads), joined with exact df/cf.
-    val blockAgg = spark.read.parquet(paths.postings)
+    // S4: dictionary — metadata-only aggregation over block headers (the
+    // term-keyed merge; payload columns pruned at the scan)
+    val dict = spark.read.parquet(paths.postings)
       .groupBy($"term")
-      .agg(max($"max_tf_norm").as("max_tf_norm"))
-    val dict = tstats.toDF()
-      .join(blockAgg, Seq("term"))
+      .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
+        max($"max_tf_norm").as("max_tf_norm"))
       .select($"term", $"df", $"cf", $"max_tf_norm")
       .as[DictEntry]
     Catalog.writeDictionary(dict, paths)
-    tstats.unpersist(blocking = false)
 
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
     val meta = IndexMeta(buckets, targetRun, docIdSpace)

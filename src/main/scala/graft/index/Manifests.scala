@@ -38,24 +38,40 @@ object Manifests {
     * files themselves — the manifest describes what is actually on disk, not
     * what the stage intended to write).
     */
+  /** Per-file row counts from parquet FOOTERS — metadata only, no data scan
+    * (an extra full read of every stage output showed up as ~20s of fixed
+    * per-build overhead in the scaling protocol).
+    */
+  private def footerCounts(outputPath: String): Seq[(String, Long, Long)] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new Configuration()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    // parallel footer reads: serial driver-side opens anti-scale with the
+    // partition count (32 files x ~50ms showed up as per-build overhead)
+    val files = walk(new java.io.File(outputPath)).sortBy(_.getPath)
+    import scala.jdk.CollectionConverters._
+    new java.util.ArrayList(files.asJava).parallelStream().map[(String, Long, Long)] { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try (f.getPath, reader.getRecordCount, f.length())
+      finally reader.close()
+    }.collect(java.util.stream.Collectors.toList[(String, Long, Long)]).asScala.toSeq
+  }
+
   def recordComplete(spark: SparkSession, paths: IndexPaths, stage: String,
       inputFingerprint: String, outputPath: String, wallMs: Long): Unit = {
     import spark.implicits._
     val ts = now()
     val perFile: Seq[ManifestEntry] =
       if (new java.io.File(outputPath).exists()) {
-        val rowsByFile = spark.read.parquet(outputPath)
-          .groupBy(input_file_name().as("file"))
-          .agg(count(lit(1)).as("rows"))
-          .collect()
-          .map(r => r.getString(0) -> r.getLong(1))
-          .sortBy(_._1)
-        rowsByFile.zipWithIndex.map { case ((file, rows), i) =>
-          val bytes =
-            try new java.io.File(new java.net.URI(file).getPath).length()
-            catch { case _: Exception => 0L }
+        footerCounts(outputPath).zipWithIndex.map { case ((file, rows, bytes), i) =>
           ManifestEntry(stage, i, inputFingerprint, rows, bytes, wallMs, s"complete:$file", ts)
-        }.toSeq
+        }
       } else Seq.empty
     val total = perFile.map(_.rows).sum
     val bytes = perFile.map(_.bytes).sum
@@ -63,11 +79,12 @@ object Manifests {
     all.toDS().write.mode(SaveMode.Append).parquet(paths.manifests)
   }
 
-  def metric(spark: SparkSession, paths: IndexPaths, runId: String, stage: String,
-      kvs: (String, Double)*): Unit = {
+  /** Append metric rows (stage, key, value) in one write. */
+  def metric(spark: SparkSession, paths: IndexPaths, runId: String,
+      rows: (String, String, Double)*): Unit = {
     import spark.implicits._
     val ts = now()
-    kvs.map { case (k, v) => MetricRow(runId, stage, k, v, ts) }
-      .toDS().write.mode(SaveMode.Append).parquet(paths.metrics)
+    rows.map { case (stage, k, v) => MetricRow(runId, stage, k, v, ts) }
+      .toDS().coalesce(1).write.mode(SaveMode.Append).parquet(paths.metrics)
   }
 }

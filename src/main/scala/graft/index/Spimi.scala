@@ -104,4 +104,121 @@ object Spimi {
     override def hasNext: Boolean = { fill(); !pending.isEmpty }
     override def next(): PostingBlock = { fill(); pending.poll() }
   }
+
+  /** Grid SPIMI — the high-throughput batch path (IndexBuildJob S3).
+    *
+    * Instead of shuffling raw TF rows keyed by (term, salt) (≈ 40×
+    * compressed size), the CORPUS is exchanged once, range-partitioned on a
+    * fixed docID grid (`grid = doc_id div width`), and each grid cell is
+    * inverted in memory (classic SPIMI: per-partition in-memory index,
+    * flushed as sorted compressed runs). Properties:
+    *
+    *  - run_id = grid ⇒ a term's runs cover disjoint contiguous docID
+    *    ranges — the WAND/merge invariant — independent of partitioning;
+    *  - block layout depends only on grid content ⇒ resumed builds are
+    *    content-identical to cold builds even though range-partitioner
+    *    boundary sampling varies;
+    *  - skew-free by construction: the exchange key is the doc-range grid
+    *    (uniform), never the term; head terms simply appear in every cell
+    *    (the doc-range salting of SaltPlan, applied at the corpus exchange);
+    *  - memory = one grid cell's postings (grid count scales with the
+    *    corpus, cell size stays bounded — SPIMI discipline);
+    *  - the term-keyed "merge" downstream degenerates to a metadata-only
+    *    aggregation (dictionary df/cf/maxima from block headers).
+    */
+  def buildBlocksGrid(
+      docs: org.apache.spark.sql.Dataset[graft.model.Doc],
+      avgdl: Double,
+      buckets: Int,
+      grids: Int,
+      docIdSpace: Long,
+      numPartitions: Int): Dataset[PostingBlock] = {
+    import docs.sparkSession.implicits._
+    val width = math.max(1L, (docIdSpace + grids - 1) / grids)
+    docs.toDF()
+      .withColumn("grid", expr(s"CAST(doc_id DIV $width AS INT)"))
+      .repartitionByRange(numPartitions, $"grid") // equal grid => same partition
+      .sortWithinPartitions($"grid", $"doc_id")
+      .select($"grid", $"doc_id", $"text")
+      .as[(Int, Long, String)]
+      .mapPartitions(rows => new GridSpimiIterator(rows, avgdl, buckets))
+  }
+
+  /** Growable per-term posting buffer for one grid cell. */
+  private final class PostingBuf {
+    var docs = new Array[Long](8)
+    var tfs = new Array[Int](8)
+    var dls = new Array[Int](8)
+    var n = 0
+    def add(doc: Long, tf: Int, dl: Int): Unit = {
+      if (n == docs.length) {
+        docs = java.util.Arrays.copyOf(docs, n * 2)
+        tfs = java.util.Arrays.copyOf(tfs, n * 2)
+        dls = java.util.Arrays.copyOf(dls, n * 2)
+      }
+      docs(n) = doc; tfs(n) = tf; dls(n) = dl; n += 1
+    }
+    def iterator: Iterator[(Long, Int, Int)] =
+      (0 until n).iterator.map(i => (docs(i), tfs(i), dls(i)))
+  }
+
+  private final class GridSpimiIterator(
+      rows: Iterator[(Int, Long, String)],
+      avgdl: Double,
+      buckets: Int) extends Iterator[PostingBlock] {
+
+    private val pending = new java.util.ArrayDeque[PostingBlock]()
+    private val inv = new java.util.HashMap[String, PostingBuf]()
+    private var curGrid = Int.MinValue
+    private var open = false
+
+    private def flushGrid(): Unit = {
+      if (!inv.isEmpty) {
+        val terms = inv.keySet().toArray(new Array[String](inv.size()))
+        java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
+        var i = 0
+        while (i < terms.length) {
+          val t = terms(i)
+          graft.core.Blocks.build(t, curGrid, inv.get(t).iterator, avgdl, buckets)
+            .foreach(pending.add)
+          i += 1
+        }
+        inv.clear()
+      }
+    }
+
+    private def ingest(doc: Long, text: String): Unit = {
+      val toks = graft.core.Analyzer.tokenize(text)
+      if (toks.nonEmpty) {
+        java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+        val dl = toks.length
+        var i = 0
+        while (i < dl) {
+          var j = i + 1
+          while (j < dl && toks(j) == toks(i)) j += 1
+          var buf = inv.get(toks(i))
+          if (buf == null) { buf = new PostingBuf; inv.put(toks(i), buf) }
+          buf.add(doc, j - i, dl)
+          i = j
+        }
+      }
+    }
+
+    private def fill(): Unit = {
+      while (pending.isEmpty && rows.hasNext) {
+        val (grid, doc, text) = rows.next()
+        if (open && grid != curGrid) flushGrid()
+        curGrid = grid
+        open = true
+        ingest(doc, text)
+      }
+      if (pending.isEmpty && !rows.hasNext && open) {
+        flushGrid()
+        open = false
+      }
+    }
+
+    override def hasNext: Boolean = { fill(); !pending.isEmpty }
+    override def next(): PostingBlock = { fill(); pending.poll() }
+  }
 }

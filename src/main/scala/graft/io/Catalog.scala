@@ -69,6 +69,11 @@ object Catalog {
   def writePostings(blocks: Dataset[PostingBlock], paths: IndexPaths): Unit = {
     import blocks.sparkSession.implicits._
     blocks
+      // co-locate each bucket in one task: without this every task writes a
+      // file into every bucket dir (tasks x buckets small files — write-side
+      // overhead that grows with parallelism); with it, exactly one file per
+      // bucket. The shuffle moves only compressed blocks.
+      .repartition($"bucket")
       .sortWithinPartitions($"bucket", $"term", $"run_id", $"block_idx")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -79,7 +84,7 @@ object Catalog {
     import spark.implicits._
     spark.read.parquet(paths.postings)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
-        "n_docs", "max_tf", "min_dl", "max_tf_norm", "doc_deltas_vb", "tfs_vb", "dls_vb")
+        "n_docs", "max_tf", "min_dl", "sum_tf", "max_tf_norm", "doc_deltas_vb", "tfs_vb", "dls_vb")
       .as[PostingBlock]
   }
 

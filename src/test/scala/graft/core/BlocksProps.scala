@@ -44,6 +44,7 @@ object BlocksProps extends Properties("Blocks") {
           val d = Blocks.decode(b)
           b.first_doc == d.docs.head && b.last_doc == d.docs.last &&
             b.max_tf == d.tfs.max && b.min_dl == d.dls.min &&
+            b.sum_tf == d.tfs.map(_.toLong).sum &&
             // ∀ doc ∈ block: tfNorm ≤ max_tf_norm, with exact max attained
             d.docs.indices.forall(i =>
               Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, avgdl) <= b.max_tf_norm) &&
