@@ -55,6 +55,25 @@ object OracleSql {
     sets.mkString("", "\nINTERSECT\n", "\nORDER BY doc_id")
   }
 
+  /** Unscored boolean OR: docs containing any of the terms. */
+  def boolOr(terms: Seq[String]): String = {
+    val sets = terms.map(t =>
+      s"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents) WHERE term = '$t'")
+    sets.mkString("", "\nUNION\n", "\nORDER BY doc_id")
+  }
+
+  /** Exact distinct-count aggregation over events. */
+  val distinctUsers: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Array math over the embeddings table: L2 norm per vector. */
+  val vectorNorms: String =
+    """SELECT vec_id,
+      |       round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS l2_r6
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Boolean AND NOT: docs containing `pos` but not `neg`. */
   def boolAndNot(pos: String, neg: String): String =
     s"""SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents) WHERE term = '$pos'

@@ -124,6 +124,27 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       Booleans.andBitmap(s, idx.paths.root, Seq("join", "hash"))
     }),
+    "bool_or" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Booleans.or(s, idx.paths.root, Seq("vector", "stream"))
+    }),
+    // --- distinct aggregation + array math -----------------------------------
+    "distinct_users" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.readTable(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    }),
+    "vector_norms" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.readTable(s, dir, "embeddings")
+        .select($"vec_id",
+          round(sqrt(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")),
+            6).as("l2_r6"))
+        .orderBy($"vec_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +184,8 @@ object SparkEntry {
     "media_meta" -> OracleSql.mediaMeta,
     "phrase_match" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
+    "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),
+    "distinct_users" -> OracleSql.distinctUsers,
+    "vector_norms" -> OracleSql.vectorNorms,
   )
 }

@@ -39,6 +39,16 @@ object Booleans {
       .orderBy($"doc_id")
   }
 
+  /** Docs containing ANY term (disjunction, unscored): union + distinct. */
+  def or(spark: SparkSession, root: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    import spark.implicits._
+    terms.map(docsOf(spark, root, _))
+      .reduce(_ union _)
+      .distinct()
+      .orderBy($"doc_id")
+  }
+
   /** Docs containing `pos` but not `neg` (left-anti). */
   def andNot(spark: SparkSession, root: String, pos: String, neg: String): DataFrame = {
     import spark.implicits._
