@@ -32,4 +32,21 @@ object IndexCache {
           buckets = Buckets, targetRun = TargetRun)
       })
     }
+
+  private val posBuilt = scala.collection.mutable.Set[String]()
+
+  /** Positional index over the same corpus/root (built on first use). */
+  def positionalIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      val res = documentsIndex(spark, sfDir)
+      if (!posBuilt.contains(sfDir)) {
+        val parts = spark.sessionState.conf.numShufflePartitions
+        graft.index.PositionalIndex.build(
+          Catalog.readDocuments(spark, sfDir), res.paths.root,
+          buckets = res.meta.buckets, grids = parts * 2,
+          docIdSpace = res.meta.doc_id_space, numPartitions = parts)
+        posBuilt += sfDir
+      }
+      res
+    }
 }

@@ -117,8 +117,13 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Embeddings.annLshTopK(s, dir, 0L, K)),
     // --- training-data pipeline: multimodal plumbing -------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
-    // --- phrase (positional) matching ----------------------------------------
+    // --- phrase (positional) matching: relational + index-backed paths -------
     "phrase_match" -> ((s, dir) => Phrase.phraseMatch(s, dir, Seq("join", "hash"))),
+    "phrase_match_indexed" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.phraseMatch(s, idx.paths.root,
+        Seq("join", "hash"), idx.meta.buckets)
+    }),
     // --- bitmap boolean path (same semantics as bool_and, bitmap execution) --
     "bool_and_bitmap" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -183,6 +188,7 @@ object SparkEntry {
     "ann_lsh_topk" -> OracleSql.annLshTopK(0L, K),
     "media_meta" -> OracleSql.mediaMeta,
     "phrase_match" -> OracleSql.phraseMatch(Seq("join", "hash")),
+    "phrase_match_indexed" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),
     "distinct_users" -> OracleSql.distinctUsers,

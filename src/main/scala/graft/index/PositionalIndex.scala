@@ -1,0 +1,216 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Analyzer, Blocks, Codec}
+import graft.model.Doc
+
+/** Positional posting block: per (term, grid-run), docIDs ascending, with
+  * each doc's in-document token positions (ascending) as a concatenated
+  * delta+VByte stream (`pos_deltas_vb`) and per-doc position counts
+  * (`pos_lens_vb`). Built and laid out exactly like the scored index
+  * (bucketed, grid runs), kept as a SEPARATE artifact so the scored path
+  * pays nothing for it (ES analog: positions enabled per field).
+  */
+final case class PosBlock(
+    term: String,
+    bucket: Int,
+    run_id: Int,
+    block_idx: Int,
+    first_doc: Long,
+    last_doc: Long,
+    n_docs: Int,
+    doc_deltas_vb: Array[Byte],
+    pos_lens_vb: Array[Byte],
+    pos_deltas_vb: Array[Byte])
+
+/** Positional index build + index-backed phrase matching (SURVEY.md §2
+  * row 25 — the index-side `match_phrase`; the relational twin is
+  * operators/Phrase).
+  */
+object PositionalIndex {
+
+  val BlockSize = 128
+
+  def pathOf(root: String): String = s"$root/pos_postings"
+
+  /** Grid SPIMI over (term → [(doc, positions)]), mirroring
+    * Spimi.buildBlocksGrid's invariants (disjoint contiguous grid runs).
+    */
+  def build(docs: Dataset[Doc], root: String, buckets: Int, grids: Int,
+      docIdSpace: Long, numPartitions: Int): Unit = {
+    import docs.sparkSession.implicits._
+    val width = math.max(1L, (docIdSpace + grids - 1) / grids)
+    val blocks = docs.toDF()
+      .withColumn("grid", expr(s"CAST(doc_id DIV $width AS INT)"))
+      .repartitionByRange(numPartitions, $"grid")
+      .sortWithinPartitions($"grid", $"doc_id")
+      .select($"grid", $"doc_id", $"text")
+      .as[(Int, Long, String)]
+      .mapPartitions(rows => new PosGridIterator(rows, buckets))
+    blocks
+      .repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"term", $"run_id", $"block_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(pathOf(root))
+  }
+
+  private final class PosBuf {
+    val docs = new scala.collection.mutable.ArrayBuffer[Long](8)
+    val posLists = new scala.collection.mutable.ArrayBuffer[Array[Int]](8)
+  }
+
+  private final class PosGridIterator(
+      rows: Iterator[(Int, Long, String)],
+      buckets: Int) extends Iterator[PosBlock] {
+
+    private val pending = new java.util.ArrayDeque[PosBlock]()
+    private val inv = new java.util.HashMap[String, PosBuf]()
+    private var curGrid = Int.MinValue
+    private var open = false
+
+    private def emitBlocks(term: String, buf: PosBuf): Unit = {
+      val bucket = Blocks.bucketOf(term, buckets)
+      var start = 0
+      var blockIdx = 0
+      while (start < buf.docs.length) {
+        val n = math.min(BlockSize, buf.docs.length - start)
+        val docArr = new Array[Long](n)
+        val lens = new Array[Int](n)
+        var totalPos = 0
+        var i = 0
+        while (i < n) {
+          docArr(i) = buf.docs(start + i)
+          lens(i) = buf.posLists(start + i).length
+          totalPos += lens(i)
+          i += 1
+        }
+        val posOut = new java.io.ByteArrayOutputStream(totalPos + 8)
+        i = 0
+        while (i < n) {
+          posOut.write(Codec.encodeDeltas(buf.posLists(start + i).map(_.toLong + 1)))
+          i += 1
+        }
+        pending.add(PosBlock(term, bucket, curGrid, blockIdx,
+          docArr(0), docArr(n - 1), n,
+          Codec.encodeDeltas(docArr), Codec.encodeInts(lens), posOut.toByteArray))
+        blockIdx += 1
+        start += n
+      }
+    }
+
+    private def flushGrid(): Unit = {
+      if (!inv.isEmpty) {
+        val terms = inv.keySet().toArray(new Array[String](inv.size()))
+        java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
+        terms.foreach(t => emitBlocks(t, inv.get(t)))
+        inv.clear()
+      }
+    }
+
+    private def ingest(doc: Long, text: String): Unit = {
+      val toks = Analyzer.tokenize(text)
+      if (toks.nonEmpty) {
+        // positions per term (ascending by construction)
+        val byTerm = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        var p = 0
+        while (p < toks.length) {
+          var lst = byTerm.get(toks(p))
+          if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Int](4); byTerm.put(toks(p), lst) }
+          lst += p
+          p += 1
+        }
+        byTerm.forEach { (t, ps) =>
+          var buf = inv.get(t)
+          if (buf == null) { buf = new PosBuf; inv.put(t, buf) }
+          buf.docs += doc
+          buf.posLists += ps.toArray
+        }
+      }
+    }
+
+    private def fill(): Unit = {
+      while (pending.isEmpty && rows.hasNext) {
+        val (grid, doc, text) = rows.next()
+        if (open && grid != curGrid) flushGrid()
+        curGrid = grid
+        open = true
+        ingest(doc, text)
+      }
+      if (pending.isEmpty && !rows.hasNext && open) { flushGrid(); open = false }
+    }
+
+    override def hasNext: Boolean = { fill(); !pending.isEmpty }
+    override def next(): PosBlock = { fill(); pending.poll() }
+  }
+
+  /** Decode one block into (doc → positions) entries. */
+  def decode(b: PosBlock): Iterator[(Long, Array[Int])] = {
+    val docs = Codec.decodeDeltas(b.doc_deltas_vb, b.n_docs)
+    val lens = Codec.decodeInts(b.pos_lens_vb, b.n_docs)
+    // positions are per-doc delta streams concatenated; walk sequentially
+    var offset = 0
+    val bytes = b.pos_deltas_vb
+    docs.indices.iterator.map { i =>
+      // decode lens(i) values starting at offset
+      val out = new Array[Int](lens(i))
+      var pos = offset
+      var prev = 0L
+      var j = 0
+      while (j < lens(i)) {
+        var shift = 0; var v = 0L; var byte = 0
+        do {
+          byte = bytes(pos) & 0xff; pos += 1
+          v |= (byte & 0x7fL) << shift; shift += 7
+        } while ((byte & 0x80) != 0)
+        prev = if (j == 0) v else prev + v
+        out(j) = (prev - 1).toInt
+        j += 1
+      }
+      offset = pos
+      (docs(i), out)
+    }
+  }
+
+  /** Index-backed phrase match: gather the phrase terms' positional postings
+    * per docID-range shard, intersect docIDs, and verify consecutive
+    * positions (positions of term i must contain p0 + i for some start p0).
+    * Output: matching doc_ids, ordered.
+    */
+  def phraseMatch(spark: SparkSession, root: String, phrase: Seq[String],
+      buckets: Int): DataFrame = {
+    import spark.implicits._
+    val terms = phrase.flatMap(Analyzer.tokenize(_))
+    require(terms.nonEmpty, "empty phrase")
+    val distinctTerms = terms.distinct
+    val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    val termIdx = terms.zipWithIndex // term -> offset(s) in the phrase
+
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms: _*))
+      .as[PosBlock]
+      .flatMap { b =>
+        decode(b).map { case (doc, ps) => (doc, b.term, ps) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        it.foreach { case (_, t, ps) => byTerm(t) = ps }
+        val ok = termIdx.forall { case (t, _) => byTerm.contains(t) } && {
+          val first = byTerm(terms.head)
+          first.exists { p0 =>
+            termIdx.forall { case (t, i) =>
+              java.util.Arrays.binarySearch(byTerm(t), p0 + i) >= 0
+            }
+          }
+        }
+        if (ok) Iterator.single(doc) else Iterator.empty
+      }
+      .toDF("doc_id")
+      .orderBy($"doc_id")
+  }
+}

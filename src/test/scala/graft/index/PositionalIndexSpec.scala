@@ -1,0 +1,53 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexCache, TestSpark}
+import graft.operators.Phrase
+
+/** Index-backed phrase matching must equal the relational positional-join
+  * twin (which is itself DuckDB-oracled) on every phrase shape.
+  */
+class PositionalIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  test("index phrase match equals relational phrase match") {
+    val idx = IndexCache.positionalIndex(spark, sfDir)
+    val phrases = Seq(
+      Seq("join", "hash"),
+      Seq("the", "a"),
+      Seq("join", "join"),            // repeated term
+      Seq("window", "stream", "row"), // 3-term
+      Seq("zebra", "join"),           // absent first term -> empty
+      Seq("join"))                    // single term == containment
+    for (p <- phrases) {
+      val viaIndex = docIds(PositionalIndex.phraseMatch(spark, idx.paths.root, p, idx.meta.buckets))
+      val viaJoin = docIds(Phrase.phraseMatch(spark, sfDir, p))
+      assert(viaIndex == viaJoin, s"phrase $p mismatch")
+    }
+  }
+
+  test("positional block roundtrip") {
+    import spark.implicits._
+    val blocks = spark.read.parquet(PositionalIndex.pathOf(
+        IndexCache.positionalIndex(spark, sfDir).paths.root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .as[PosBlock].take(50)
+    assert(blocks.nonEmpty)
+    blocks.foreach { b =>
+      val entries = PositionalIndex.decode(b).toSeq
+      assert(entries.size == b.n_docs)
+      assert(entries.head._1 == b.first_doc && entries.last._1 == b.last_doc)
+      entries.foreach { case (_, ps) =>
+        assert(ps.nonEmpty && ps.sameElements(ps.sorted))
+      }
+    }
+  }
+}
