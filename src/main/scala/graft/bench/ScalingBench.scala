@@ -57,11 +57,11 @@ object ScalingBench {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 
-      def buildOnce(tag: String): Double = {
+      def buildOnce(tag: String, input: String = turnsPath(convs, tpc)): Double = {
         val out = s"/tmp/graft-scaling/idx-$cores-$tag"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val s = IndexBuildJob.run(spark, IndexBuildJob.Args(
-          input = turnsPath(convs, tpc), output = out, buckets = 32,
+          input = input, output = out, buckets = 32,
           targetRun = 1 << 16, partitions = Some(cores), resume = false))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         val walls = s.stageWalls.map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
@@ -69,7 +69,16 @@ object ScalingBench {
         s.turnsPerSec
       }
 
-      buildOnce("warmup")
+      // warmup exists to JIT-compile the build's code paths; a 1/8-size
+      // corpus does that at a fraction of the wall time
+      val warmPath = turnsPath(convs / 8, tpc)
+      if (!new java.io.File(warmPath).exists()) {
+        import spark.implicits._
+        spark.range(0, convs / 8).repartition(64)
+          .flatMap(c => graft.Fixtures.conversation(c.toInt, tpc))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(warmPath)
+      }
+      buildOnce("warmup", warmPath)
       val measured = (1 to reps).map(r => buildOnce(s"rep$r"))
       val med = measured.sorted.apply(measured.size / 2)
       println(
