@@ -33,6 +33,24 @@ object IndexCache {
       })
     }
 
+  private val lshBuilt = scala.collection.mutable.Map[String, String]()
+
+  /** LSH bucket table over `embeddings`, computed once per sfDir and
+    * persisted (the production shape: buckets are an index artifact, built
+    * once, probed many times — never recomputed per query).
+    */
+  def lshBucketsPath(spark: SparkSession, sfDir: String, planes: Int = 8): String =
+    synchronized {
+      lshBuilt.getOrElseUpdate(sfDir, {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/tmp/graft-index-$jvmTag/$key/lsh_buckets"
+        graft.operators.Embeddings
+          .lshBuckets(Catalog.readTable(spark, sfDir, "embeddings"), planes)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        path
+      })
+    }
+
   private val posBuilt = scala.collection.mutable.Set[String]()
 
   /** Positional index over the same corpus/root (built on first use). */

@@ -48,6 +48,15 @@ object OracleSql {
        |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Top-k hydrated with document metadata (the decode + hydration join,
+    * SURVEY.md §2 row 18).
+    */
+  def bm25TopKHydrated(terms: Seq[String], k: Int): String =
+    s"""SELECT t.doc_id, t.score_r4, d.source, d.n_chars
+       |FROM (${bm25TopK(terms, k)}) t
+       |JOIN documents d USING (doc_id)
+       |ORDER BY t.score_r4 DESC, t.doc_id""".stripMargin
+
   /** Unscored boolean AND over `documents`: docs containing all terms. */
   def boolAnd(terms: Seq[String]): String = {
     val sets = terms.map(t =>
@@ -179,20 +188,27 @@ object OracleSql {
        |                i -> concat(t[i], '_', t[i+1], '_', t[i+2])))) AS s
        |  FROM toksrc)""".stripMargin
 
-  private val jaccardCte =
-    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  private def jaccardCteOver(src: String) =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM $src GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM $src a JOIN $src b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardCte = jaccardCteOver("sh")
 
   val exactDups: String =
     """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS canonical_doc
       |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""".stripMargin
 
-  def ngramJaccard(tau: Double): String =
+  /** Exact n-gram Jaccard with the identical head-shingle df-cap the Spark
+    * operator applies (Dedup.ngramJaccardPairs).
+    */
+  def ngramJaccard(tau: Double, maxShingleDf: Long = 1000L): String =
     s"""WITH $shingleCte,
-       |$jaccardCte
+       |hot AS (SELECT s FROM (SELECT s, count(*) AS sdf FROM sh GROUP BY s) WHERE sdf > $maxShingleDf),
+       |shc AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+       |${jaccardCteOver("shc")}
        |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard_r6
        |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
        |WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= $tau
@@ -220,6 +236,45 @@ object OracleSql {
        |JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
        |WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= $tau
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Dedup cluster canonicalization over the MinHash+LSH pairs: connected
+    * components via a recursive reachability CTE (DuckDB twin of the Spark
+    * min-label propagation — both compute min reachable docID per node).
+    */
+  def dedupClusters(tau: Double): String =
+    s"""WITH RECURSIVE $shingleCte,
+       |mh AS (
+       |  SELECT doc_id, h, min(md5(concat(h, ':', s))) AS mh
+       |  FROM sh CROSS JOIN range(0, 8) r(h)
+       |  GROUP BY doc_id, h),
+       |bands AS (
+       |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+       |         md5(concat_ws('|',
+       |           max(CASE WHEN h % 2 = 0 THEN mh END),
+       |           max(CASE WHEN h % 2 = 1 THEN mh END))) AS bk
+       |  FROM mh GROUP BY doc_id, h // 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |$jaccardCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN inter USING (doc_a, doc_b)
+       |  JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |  WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= $tau),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m),
+       |labels AS (SELECT n AS doc_id, min(m) AS canonical_id FROM reach GROUP BY n)
+       |SELECT doc_id, canonical_id,
+       |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM labels ORDER BY doc_id""".stripMargin
 
   val simhash: String =
     s"""WITH tf AS (
@@ -309,8 +364,13 @@ object OracleSql {
        |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id),
        |pb AS (SELECT bucket FROM buckets WHERE vec_id = $probeId),
+       |probes AS (
+       |  SELECT bucket FROM pb
+       |  UNION
+       |  SELECT xor(pb.bucket, CAST(1 AS BIGINT) << CAST(i AS INT)) AS bucket
+       |  FROM pb CROSS JOIN range(0, $planes) r(i)),
        |cand AS (
-       |  SELECT b.vec_id FROM buckets b JOIN pb ON b.bucket = pb.bucket
+       |  SELECT DISTINCT b.vec_id FROM buckets b JOIN probes ON b.bucket = probes.bucket
        |  WHERE b.vec_id <> $probeId),
        |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
        |c AS (
@@ -342,6 +402,37 @@ object OracleSql {
        |$joins
        |WHERE p0.term = '${terms.head}'
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Scored phrase top-k: BM25 with tf = phrase frequency (count of
+    * consecutive-position match starts), df = docs containing the phrase.
+    */
+  def phraseTopK(phrase: Seq[String], k: Int): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString("\n")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc))),
+       |starts AS (
+       |  SELECT p0.doc_id, count(*) AS ptf
+       |  FROM pos p0
+       |  $joins
+       |  WHERE p0.term = '${terms.head}'
+       |  GROUP BY p0.doc_id),
+       |dls AS (SELECT doc_id, len(${toks("text")}) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |dfp AS (SELECT count(*) AS df FROM starts)
+       |SELECT doc_id, round(score, 4) AS score_r4 FROM (
+       |  SELECT s.doc_id,
+       |         ln(1 + (stats.n_docs - dfp.df + 0.5) / (dfp.df + 0.5)) *
+       |         (s.ptf / (s.ptf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS score
+       |  FROM starts s JOIN dls USING (doc_id) CROSS JOIN stats CROSS JOIN dfp)
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   val mediaMeta: String =

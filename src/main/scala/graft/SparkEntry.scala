@@ -49,6 +49,19 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       SearchEngine.topKWandRounded(s, idx.paths.root, Seq("zebra"), K)
     }),
+    // hydration join (§2 row 18): top-k hits joined back to doc metadata —
+    // broadcast-hash join, k rows on the build side
+    "bm25_topk_hydrated" -> ((s, dir) => {
+      import s.implicits._
+      val idx = IndexCache.documentsIndex(s, dir)
+      val hits = SearchEngine.topKWandRounded(s, idx.paths.root,
+        Seq("join", "window", "vector"), K)
+      broadcast(hits)
+        .join(Catalog.readTable(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars"), "doc_id")
+        .select($"doc_id", $"score_r4", $"source", $"n_chars")
+        .orderBy($"score_r4".desc, $"doc_id".asc)
+    }),
     // --- BM25 top-k: brute-force oracle twin (no index) ---------------------
     "bm25_topk_brute" -> ((s, dir) =>
       BruteForce.topKRounded(Catalog.readDocuments(s, dir).toDF(), Seq("window", "stream"), K)),
@@ -107,6 +120,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir, 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(s, dir, 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir, 0.5)),
     // --- training-data pipeline: text analysis -------------------------------
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -114,7 +128,9 @@ object SparkEntry {
     "winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
     // --- training-data pipeline: similarity search ---------------------------
     "emb_cosine_topk" -> ((s, dir) => Embeddings.cosineTopK(s, dir, 0L, K)),
-    "ann_lsh_topk" -> ((s, dir) => Embeddings.annLshTopK(s, dir, 0L, K)),
+    "ann_lsh_topk" -> ((s, dir) =>
+      Embeddings.annLshTopK(s, dir, 0L, K,
+        bucketsPath = Some(IndexCache.lshBucketsPath(s, dir)))),
     // --- training-data pipeline: multimodal plumbing -------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     // --- phrase (positional) matching: relational + index-backed paths -------
@@ -123,6 +139,11 @@ object SparkEntry {
       val idx = IndexCache.positionalIndex(s, dir)
       graft.index.PositionalIndex.phraseMatch(s, idx.paths.root,
         Seq("join", "hash"), idx.meta.buckets)
+    }),
+    "phrase_topk" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.phraseTopK(s, idx.paths.root,
+        Seq("join", "hash"), K, idx.meta.buckets)
     }),
     // --- bitmap boolean path (same semantics as bool_and, bitmap execution) --
     "bool_and_bitmap" -> ((s, dir) => {
@@ -160,6 +181,7 @@ object SparkEntry {
     "bm25_single_term" -> OracleSql.bm25TopK(Seq("join"), K),
     "bm25_partial_miss" -> OracleSql.bm25TopK(Seq("join", "zebra"), K),
     "bm25_empty" -> OracleSql.bm25TopK(Seq("zebra"), K),
+    "bm25_topk_hydrated" -> OracleSql.bm25TopKHydrated(Seq("join", "window", "vector"), K),
     "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
     "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),
     "bool_and" -> OracleSql.boolAnd(Seq("join", "hash")),
@@ -180,6 +202,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSql.ngramJaccard(0.5),
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(0.5),
     "dedup_simhash" -> OracleSql.simhash,
+    "dedup_clusters" -> OracleSql.dedupClusters(0.5),
     "lang_id" -> OracleSql.langId,
     "quality_score" -> OracleSql.qualityScore,
     "token_counts" -> OracleSql.tokenCounts,
@@ -189,6 +212,7 @@ object SparkEntry {
     "media_meta" -> OracleSql.mediaMeta,
     "phrase_match" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "phrase_match_indexed" -> OracleSql.phraseMatch(Seq("join", "hash")),
+    "phrase_topk" -> OracleSql.phraseTopK(Seq("join", "hash"), K),
     "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),
     "distinct_users" -> OracleSql.distinctUsers,

@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Analyzer, Blocks, Codec}
+import graft.core.{Analyzer, Blocks, Bm25, Codec}
 import graft.model.Doc
 
 /** Positional posting block: per (term, grid-run), docIDs ascending, with
@@ -174,12 +174,16 @@ object PositionalIndex {
     }
   }
 
-  /** Index-backed phrase match: gather the phrase terms' positional postings
-    * per docID-range shard, intersect docIDs, and verify consecutive
-    * positions (positions of term i must contain p0 + i for some start p0).
-    * Output: matching doc_ids, ordered.
+  /** Per-doc phrase term frequency: the number of positions p0 at which the
+    * whole phrase matches consecutively (ES/Lucene's phrase freq — what a
+    * scored `match_phrase` uses as tf). Docs with zero matches are absent.
+    *
+    * Plan shape: positional postings scan pruned to the phrase terms'
+    * buckets + `term ∈ terms` pushdown, decode, one groupBy(doc) shuffle of
+    * only the phrase terms' (doc, positions) rows, position intersection
+    * per doc. Output is tiny (matching docs only).
     */
-  def phraseMatch(spark: SparkSession, root: String, phrase: Seq[String],
+  def phraseTf(spark: SparkSession, root: String, phrase: Seq[String],
       buckets: Int): DataFrame = {
     import spark.implicits._
     val terms = phrase.flatMap(Analyzer.tokenize(_))
@@ -200,17 +204,68 @@ object PositionalIndex {
       .flatMapGroups { (doc, it) =>
         val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
         it.foreach { case (_, t, ps) => byTerm(t) = ps }
-        val ok = termIdx.forall { case (t, _) => byTerm.contains(t) } && {
-          val first = byTerm(terms.head)
-          first.exists { p0 =>
+        if (!termIdx.forall { case (t, _) => byTerm.contains(t) }) Iterator.empty
+        else {
+          val ptf = byTerm(terms.head).count { p0 =>
             termIdx.forall { case (t, i) =>
               java.util.Arrays.binarySearch(byTerm(t), p0 + i) >= 0
             }
           }
+          if (ptf > 0) Iterator.single((doc, ptf)) else Iterator.empty
         }
-        if (ok) Iterator.single(doc) else Iterator.empty
       }
-      .toDF("doc_id")
-      .orderBy($"doc_id")
+      .toDF("doc_id", "ptf")
+  }
+
+  /** Index-backed phrase match (unscored filter context): matching doc_ids,
+    * ordered.
+    */
+  def phraseMatch(spark: SparkSession, root: String, phrase: Seq[String],
+      buckets: Int): DataFrame = {
+    import spark.implicits._
+    phraseTf(spark, root, phrase, buckets).select($"doc_id").orderBy($"doc_id")
+  }
+
+  /** Scored `match_phrase` (ES analog): BM25 top-k treating the phrase as a
+    * single pseudo-term — tf = phrase frequency ([[phraseTf]]), df = number
+    * of docs containing the phrase, dl/avgdl from the scored index.
+    *
+    * dl comes from the scored postings of the phrase's first term (every
+    * matching doc contains all phrase terms, so that pruned scan covers all
+    * candidates) — no extra doc-lengths artifact and no corpus-wide join;
+    * everything after the positional pass touches only phrase-term postings.
+    */
+  def phraseTopK(spark: SparkSession, root: String, phrase: Seq[String],
+      k: Int, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val terms = phrase.flatMap(Analyzer.tokenize(_))
+    require(terms.nonEmpty, "empty phrase")
+    val stats = graft.io.Catalog.readCorpusStats(spark, graft.io.Catalog.IndexPaths(root))
+    val ptf = phraseTf(spark, root, phrase, buckets)
+    val dfp = ptf.agg(count(lit(1)).as("dfp"))
+
+    // (doc_id, dl) for all candidate docs from the first term's scored
+    // postings (bucket-pruned + term-pushdown scan; runs disjoint ⇒ one row
+    // per doc)
+    val t0 = terms.head
+    val paths = graft.io.Catalog.IndexPaths(root)
+    val dls = graft.io.Catalog.readPostings(spark, paths)
+      .filter($"bucket" === Blocks.bucketOf(t0, buckets) && $"term" === t0)
+      .flatMap { b =>
+        val d = Blocks.decode(b)
+        (0 until d.docs.length).iterator.map(i => (d.docs(i), d.dls(i)))
+      }
+      .toDF("doc_id", "dl")
+
+    ptf.join(dls, "doc_id")
+      .crossJoin(broadcast(dfp))
+      .select($"doc_id",
+        (log(lit(1.0) + (lit(stats.n_docs.toDouble) - $"dfp" + lit(0.5)) / ($"dfp" + lit(0.5))) *
+          ($"ptf" / ($"ptf" + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * $"dl" / lit(stats.avgdl)))))
+          .as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 }

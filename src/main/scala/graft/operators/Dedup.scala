@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Analyzer
 import graft.io.Catalog
@@ -73,10 +74,26 @@ object Dedup {
     * with a small vocabulary, rare-first prefixes prune almost nothing and
     * the extra windows/joins dominate. The MinHash+LSH variant below is the
     * scale path regardless.)
+    *
+    * Scale guard: shingles with document frequency > `maxShingleDf` are
+    * dropped BEFORE the self-join (standard head-shingle cap — a single
+    * boilerplate shingle shared by f docs alone produces f·(f−1)/2 join
+    * rows, quadratic in f). Jaccard is then computed consistently over the
+    * capped shingle sets on both sides (numerator and denominator), which
+    * is the documented recall trade: pairs whose only overlap is boilerplate
+    * no longer surface. The DuckDB oracle applies the identical cap. On the
+    * test corpora max shingle df (25 at sf0.1) is far below the default cap,
+    * so results are unchanged there; the cap semantics are pinned by
+    * DedupSpec with a synthetic hot-shingle corpus.
     */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, tau: Double,
+      maxShingleDf: Long = 1000L): DataFrame = {
     import spark.implicits._
-    val sh = shingles(Catalog.readTable(spark, sfDir, "documents"))
+    val all = shingles(Catalog.readTable(spark, sfDir, "documents"))
+    val hot = all.groupBy($"s").agg(count(lit(1)).as("sdf"))
+      .filter($"sdf" > maxShingleDf).select($"s")
+    // left_anti against the (tiny) hot-shingle set; broadcast by size
+    val sh = all.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -121,6 +138,83 @@ object Dedup {
 
     // exact verification restricted to the candidate pairs
     verifyPairs(sh, cand, tau)
+  }
+
+  /** Connected components over near-dup pairs → keep/drop decisions: the
+    * operator a training-data pipeline actually runs. Input: undirected
+    * edges (doc_a, doc_b). Output: one row per doc that appears in ≥1 pair —
+    * (doc_id, canonical_id = min docID reachable, cluster_size). The
+    * canonical doc is the cluster's keeper; everything else is a drop.
+    *
+    * Algorithm: iterative min-label propagation (label(v) ← min(label(v),
+    * min over neighbors)) to convergence — pure DataFrame joins/aggs, one
+    * shuffle pair per round, O(cluster diameter) rounds. Near-dup clusters
+    * are short chains in practice (diameter ≤ a few hops), so rounds stay
+    * small even at 10^9 docs; for adversarial long-chain graphs the
+    * large-star/small-star variant (Kiveris et al., SoCC 2014) halves the
+    * diameter per round — not needed for dedup graphs.
+    *
+    * Each round's labels are materialized to parquet and read back — a
+    * lineage cut per round (without it the logical plan deepens every
+    * iteration until analysis/printing blows the stack — the standard
+    * iterative-DataFrame trap, same reason GraphX checkpoints), and it
+    * leaves zero persisted blocks behind. The converged labels land at
+    * `outPath` (the production shape — dedup decisions are a pipeline
+    * artifact, not a transient); intermediate rounds are deleted.
+    */
+  def connectedComponents(pairs: DataFrame, outPath: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select($"doc_a".cast("long").as("u"), $"doc_b".cast("long").as("v"))
+      .union(pairs.select($"doc_b".cast("long").as("u"), $"doc_a".cast("long").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def roundPath(r: Int) = s"$outPath-round$r"
+    edges.select($"u".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+      .write.mode(SaveMode.Overwrite).parquet(roundPath(0))
+
+    var round = 0
+    var labels = spark.read.parquet(roundPath(0))
+    var converged = labels.isEmpty // empty dup graph: no rounds
+    while (!converged) {
+      val neigh = edges
+        .join(labels.select($"doc_id".as("u"), $"label"), "u")
+        .groupBy($"v".as("doc_id")).agg(min($"label").as("nl"))
+      round += 1
+      labels.join(neigh, Seq("doc_id"), "left")
+        .select($"doc_id", least($"label", coalesce($"nl", $"label")).as("label"))
+        .write.mode(SaveMode.Overwrite).parquet(roundPath(round))
+      val next = spark.read.parquet(roundPath(round))
+      val changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count() // convergence probe: any row changed?
+      labels = next
+      converged = changed == 0L
+    }
+    edges.unpersist(blocking = false)
+    labels.write.mode(SaveMode.Overwrite).parquet(outPath)
+    // clean up round files (Hadoop FS — works on local/HDFS/S3 alike)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 to round).foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(roundPath(r))
+      p.getFileSystem(conf).delete(p, true)
+    }
+
+    val lab = spark.read.parquet(outPath)
+    val sizes = lab.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "label")
+      .select($"doc_id", $"label".as("canonical_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Driver-oracled canonicalization over the MinHash+LSH pairs. */
+  def dedupClusters(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    val out = s"/tmp/graft-cc-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/labels"
+    connectedComponents(minhashLshPairs(spark, sfDir, tau), out)
   }
 
   /** 32-bit SimHash fingerprint per doc: md5-derived term bit patterns

@@ -11,11 +11,16 @@ import graft.io.Catalog
   *   one narrow scan, TakeOrderedAndProject. The baseline and the verifier
   *   for the approximate path. At 100 TB this is a full scan but perfectly
   *   parallel; still the right tool for one-off probes.
-  * - [[annLshTopK]]: random-hyperplane LSH bucketing (deterministic
-  *   md5-derived hyperplanes so the oracle can replay them): bucket on
-  *   sign bits, search only the probe's bucket. The scale path — bucket
-  *   cardinality ~ n/2^bits, and the bucketing is one narrow pass that can
-  *   be precomputed and bucketed-by on disk.
+  * - [[lshBuckets]] + [[annLshTopK]]: random-hyperplane LSH. Bucketing is
+  *   ONE narrow typed pass per row (no explode, no join, no shuffle): the
+  *   deterministic planes×dims weight matrix is recomputed per partition
+  *   from md5 (≈512 md5 calls — cheaper than a broadcast round-trip) and
+  *   each vector's sign bits are accumulated in a tight loop. The bucket
+  *   table is persisted once per corpus (IndexCache) and reused across
+  *   queries — at 100 TB it is an index artifact, not per-query work.
+  *   Queries are multi-probe (exact bucket + every 1-bit flip): a neighbor
+  *   on the wrong side of one hyperplane is still found, trading k·planes
+  *   small bucket reads for recall (Lv et al., VLDB 2007 multi-probe LSH).
   *
   * All float math is widened to double before multiplication, summed
   * left-to-right in array order — bit-identical to the DuckDB twin modulo
@@ -42,43 +47,64 @@ object Embeddings {
       .limit(k)
   }
 
-  /** Deterministic hyperplane weights: w(plane i, dim j) derived from two
-    * md5 nibbles of "i_j" → integer 0..255 → centered to (v − 127.5)/128.
+  /** Deterministic hyperplane weight w(i, j): first md5 byte of "i_j"
+    * (two hex nibbles → 0..255), centered to (v − 127.5)/128 — replayable
+    * bit-for-bit by the DuckDB oracle.
     */
-  private def hyperplanes(spark: SparkSession, planes: Int, dims: Int): DataFrame = {
-    import spark.implicits._
-    spark.range(planes).toDF("i")
-      .crossJoin(spark.range(dims).toDF("j"))
-      .select($"i", $"j",
-        expr("((instr('0123456789abcdef', substring(md5(concat(i, '_', j)), 1, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substring(md5(concat(i, '_', j)), 2, 1)) - 1) - 127.5) / 128.0")
-          .as("w"))
+  private def md5FirstByte(s: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8"))(0) & 0xff
   }
 
-  /** LSH bucket id per vector: sign bits of `planes` hyperplane projections. */
-  def lshBuckets(spark: SparkSession, sfDir: String, planes: Int = 8): DataFrame = {
+  private[operators] def hyperplaneMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((i, j) => (md5FirstByte(s"${i}_${j}") - 127.5) / 128.0)
+
+  /** LSH bucket id per vector: sign bits of `planes` hyperplane projections.
+    * One narrow pass — no Generate, no Join, no Exchange (asserted by
+    * PlanSpec); dims read from each row, never via a driver action.
+    */
+  def lshBuckets(emb: DataFrame, planes: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = Catalog.readTable(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
-    val dims = emb.select(size($"embedding")).head().getInt(0)
-    val hp = hyperplanes(spark, planes, dims)
-    emb
-      .select($"vec_id", posexplode($"embedding").as(Seq("j", "x")))
-      .join(hp, Seq("j".stripMargin))
-      .groupBy($"vec_id", $"i")
-      .agg(sum($"w" * $"x".cast("double")).as("proj"))
-      .groupBy($"vec_id")
-      .agg(sum(when($"proj" >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L)).as("bucket"))
+    emb.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var w: Array[Array[Double]] = null
+        it.map { case (id, e) =>
+          if (w == null) w = hyperplaneMatrix(planes, e.length)
+          var bucket = 0L
+          var i = 0
+          while (i < planes) {
+            val wi = w(i)
+            var s = 0.0
+            var j = 0
+            while (j < e.length) { s += wi(j) * e(j).toDouble; j += 1 }
+            if (s >= 0) bucket |= 1L << i
+            i += 1
+          }
+          (id, bucket)
+        }
+      }
+      .toDF("vec_id", "bucket")
   }
 
-  /** ANN: search only the probe's LSH bucket, exact cosine inside it. */
+  /** ANN: multi-probe search over the (precomputed) bucket table — the
+    * probe's exact bucket plus every 1-bit flip — exact cosine inside the
+    * probed buckets. `bucketsPath` points at the persisted bucket table
+    * (IndexCache.lshBucketsPath); passing None recomputes it inline.
+    */
   def annLshTopK(spark: SparkSession, sfDir: String, probeId: Long, k: Int,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8, bucketsPath: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val buckets = lshBuckets(spark, sfDir, planes)
     val emb = Catalog.readTable(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
-    val probeBucket = buckets.filter($"vec_id" === probeId).select($"bucket")
-    val candIds = buckets.join(broadcast(probeBucket), "bucket")
+    val buckets = bucketsPath
+      .map(p => spark.read.parquet(p))
+      .getOrElse(lshBuckets(emb, planes))
+    val probeCols = col("bucket") +: (0 until planes).map(i =>
+      expr(s"bucket ^ shiftleft(CAST(1 AS BIGINT), $i)"))
+    val probes = buckets.filter($"vec_id" === probeId)
+      .select(explode(array(probeCols: _*)).as("bucket"))
+    val candIds = buckets.join(broadcast(probes), "bucket")
       .filter($"vec_id" =!= probeId).select($"vec_id")
     val probe = emb.filter($"vec_id" === probeId).select($"embedding".as("pe"))
     emb.join(candIds, "vec_id")

@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("n_chars"), s"unexpected column read:\n${scan.take(1500)}")
   }
 
+  test("LSH bucketing is one narrow pass: no explode, no join, no shuffle") {
+    val emb = io.Catalog.readTable(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.Embeddings.lshBuckets(emb, 8))
+    assert(!p.contains("Generate"), s"bucketing must not explode vectors:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"bucketing must not join hyperplanes:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"bucketing must not shuffle:\n${p.take(2000)}")
+  }
+
   test("brute-force scorer stays in whole-stage codegen (no UDFs)") {
     val df = graft.search.BruteForce.topK(
       io.Catalog.readDocuments(spark, sfDir).toDF(), Seq("join", "window"), 10)

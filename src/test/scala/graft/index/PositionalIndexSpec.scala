@@ -33,6 +33,23 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("scored phrase top-k equals the relational brute twin") {
+    val idx = IndexCache.positionalIndex(spark, sfDir)
+    val phrases = Seq(
+      Seq("join", "hash"),
+      Seq("the", "a"),
+      Seq("window", "stream", "row"),
+      Seq("zebra", "join"), // no match -> empty
+      Seq("join"))          // single term: ptf == tf
+    for (p <- phrases; k <- Seq(3, 10)) {
+      val viaIndex = PositionalIndex.phraseTopK(spark, idx.paths.root, p, k, idx.meta.buckets)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = Phrase.phraseTopKBrute(spark, sfDir, p, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIndex == brute, s"phrase $p k=$k: index=$viaIndex brute=$brute")
+    }
+  }
+
   test("positional block roundtrip") {
     import spark.implicits._
     val blocks = spark.read.parquet(PositionalIndex.pathOf(
