@@ -24,10 +24,14 @@ object Bench {
     // measure queries, not the one-time build.
     IndexCache.documentsIndex(spark, sfDir)
 
+    // a failed query must never masquerade as a fast timing: it reports -1
+    // and lands in failed_queries (ADVICE r1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
 
     // Index-build throughput over a synthetic transcript corpus sized to the
@@ -44,12 +48,15 @@ object Bench {
       s.turnsPerSec
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.collect { case (k, _, false) => k }
+    val total = results.collect { case (_, v, true) => v }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""build_turns_per_sec":$buildTps,"n_queries":${results.size},"sf":"$sfDir"}""")
+        s""""build_turns_per_sec":$buildTps,"n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

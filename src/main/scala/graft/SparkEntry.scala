@@ -102,6 +102,7 @@ object SparkEntry {
         Catalog.readTable(s, dir, "documents").select("doc_id", "source"),
         Seq("source", "doc_id"),
         s.sessionState.conf.numShufflePartitions)
+        .orderBy("rid")
     }),
     // --- facets / histograms / sessions / windows / joins -------------------
     "facet_source" -> ((s, dir) => {

@@ -132,9 +132,9 @@ object IndexBuildJob {
       }
       val numbered = DocIds.assign(turns, parts)
       numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
-      // docid_map from the (persisted) numbered corpus, not a re-read of the
-      // parquet just written
-      Catalog.writeDocidMap(DocIds.toDocidMap(numbered), paths)
+      // docid_map from the just-written corpus: a column-pruned parquet scan
+      // (3 narrow columns) instead of re-running the assignment pipeline
+      Catalog.writeDocidMap(DocIds.toDocidMap(Catalog.readNumbered(spark, paths)), paths)
     }
 
     // ---- S2: corpus stats (avgdl must precede encoding) --------------------

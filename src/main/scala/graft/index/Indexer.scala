@@ -8,8 +8,15 @@ import graft.io.Catalog
 import graft.io.Catalog.IndexPaths
 import graft.model._
 
-/** Small per-index metadata (bucket count must match at query time). */
-final case class IndexMeta(buckets: Int, target_run: Long, doc_id_space: Long)
+/** Small per-index metadata (bucket count must match at query time).
+  * `incremental` marks indexes grown by StreamingIngest: their stored
+  * block-max bounds were computed against an older (smaller) avgdl, so
+  * query-time WAND auto-switches to robust bounds (recomputed from
+  * max_tf/min_dl against the current avgdl) — rank-safety does not depend
+  * on the caller remembering a flag.
+  */
+final case class IndexMeta(buckets: Int, target_run: Long, doc_id_space: Long,
+    incremental: Boolean = false)
 
 /** Index construction orchestration (SURVEY.md §3.1, stages S2–S4 over an
   * already doc-keyed corpus; DocIds.assign is stage S1 for transcript input).

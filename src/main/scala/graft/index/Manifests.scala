@@ -22,11 +22,15 @@ object Manifests {
 
   private def now() = new Timestamp(System.currentTimeMillis())
 
-  /** True iff `stage` already completed against this exact input snapshot. */
+  /** True iff `stage` already completed against this exact input snapshot.
+    * An "absent" fingerprint (input not found) never matches — a stage whose
+    * input cannot be verified must re-run, not skip against a stale record.
+    */
   def isComplete(spark: SparkSession, paths: IndexPaths, stage: String,
       inputFingerprint: String): Boolean = {
     import spark.implicits._
-    if (!new java.io.File(paths.manifests).exists()) return false
+    if (inputFingerprint == "absent") return false
+    if (!graft.io.Fs.exists(paths.manifests)) return false
     spark.read.parquet(paths.manifests).as[ManifestEntry]
       .filter(m => m.stage == stage && m.partition_id == -1 &&
         m.input_fingerprint == inputFingerprint && m.status == "complete")
@@ -40,27 +44,48 @@ object Manifests {
     */
   /** Per-file row counts from parquet FOOTERS — metadata only, no data scan
     * (an extra full read of every stage output showed up as ~20s of fixed
-    * per-build overhead in the scaling protocol).
+    * per-build overhead in the scaling protocol). Listing goes through the
+    * Hadoop FileSystem API (local/HDFS/S3 alike); footer reads run
+    * driver-parallel for small outputs and as a distributed Spark job above
+    * [[DistributeThreshold]] files — at 10^6-file scale a driver-side walk
+    * is the bottleneck (VERDICT r1 item 7).
     */
-  private def footerCounts(outputPath: String): Seq[(String, Long, Long)] = {
-    import org.apache.hadoop.conf.Configuration
+  private val DistributeThreshold = 64
+
+  private def footerOf(pathStr: String, conf: org.apache.hadoop.conf.Configuration): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = new Configuration()
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f)
-      else Seq.empty
-    // parallel footer reads: serial driver-side opens anti-scale with the
-    // partition count (32 files x ~50ms showed up as per-build overhead)
-    val files = walk(new java.io.File(outputPath)).sortBy(_.getPath)
-    import scala.jdk.CollectionConverters._
-    new java.util.ArrayList(files.asJava).parallelStream().map[(String, Long, Long)] { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
-      try (f.getPath, reader.getRecordCount, f.length())
-      finally reader.close()
-    }.collect(java.util.stream.Collectors.toList[(String, Long, Long)]).asScala.toSeq
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(pathStr), conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
+  private def footerCounts(spark: SparkSession,
+      outputPath: String): Seq[(String, Long, Long)] = {
+    val files = graft.io.Fs.listDataFiles(outputPath)
+      .filter(_._1.endsWith(".parquet"))
+    if (files.isEmpty) Seq.empty
+    else if (files.length <= DistributeThreshold) {
+      // driver-parallel: serial opens anti-scale with partition count
+      import scala.jdk.CollectionConverters._
+      val conf = graft.io.Fs.conf()
+      new java.util.ArrayList(files.asJava).parallelStream()
+        .map[(String, Long, Long)] { case (f, bytes, _) => (f, footerOf(f, conf), bytes) }
+        .collect(java.util.stream.Collectors.toList[(String, Long, Long)])
+        .asScala.toSeq.sortBy(_._1)
+    } else {
+      // distributed: one task batch over the file list, conf shipped along
+      import spark.implicits._
+      val bcConf = spark.sparkContext.broadcast(
+        new graft.io.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      spark.createDataset(files.map { case (f, bytes, _) => (f, bytes) })
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val conf = bcConf.value.get
+          it.map { case (f, bytes) => (f, footerOf(f, conf), bytes) }
+        }
+        .collect().toSeq.sortBy(_._1)
+    }
   }
 
   def recordComplete(spark: SparkSession, paths: IndexPaths, stage: String,
@@ -68,8 +93,8 @@ object Manifests {
     import spark.implicits._
     val ts = now()
     val perFile: Seq[ManifestEntry] =
-      if (new java.io.File(outputPath).exists()) {
-        footerCounts(outputPath).zipWithIndex.map { case ((file, rows, bytes), i) =>
+      if (graft.io.Fs.exists(outputPath)) {
+        footerCounts(spark, outputPath).zipWithIndex.map { case ((file, rows, bytes), i) =>
           ManifestEntry(stage, i, inputFingerprint, rows, bytes, wallMs, s"complete:$file", ts)
         }
       } else Seq.empty

@@ -37,14 +37,27 @@ object SaltPlan {
   def salt(
       tf: Dataset[TermFreqRow],
       heavy: Dataset[HeavyTerm],
-      docIdSpace: Long): Dataset[SaltedTf] = {
+      docIdSpace: Long): Dataset[SaltedTf] = saltRange(tf, heavy, 0L, docIdSpace)
+
+  /** Range-aware salting for a docID slice [lo, hi) — the streaming path:
+    * a delta segment's doc_ids all lie in the batch's slice, so salting
+    * against [0, hi) would map every row to fanout−1 and collapse the
+    * skew bound the salt exists for (ADVICE r1). Salting over the
+    * batch-local range preserves disjoint ascending sub-runs per term.
+    */
+  def saltRange(
+      tf: Dataset[TermFreqRow],
+      heavy: Dataset[HeavyTerm],
+      lo: Long,
+      hi: Long): Dataset[SaltedTf] = {
     import tf.sparkSession.implicits._
+    val span = math.max(1L, hi - lo)
     tf.join(broadcast(heavy), Seq("term"), "left")
       .select(
         $"term",
         when($"fanout".isNull, lit(0))
           .otherwise(least($"fanout" - 1,
-            ($"doc_id" * $"fanout" / lit(docIdSpace)).cast("int")))
+            (($"doc_id" - lit(lo)) * $"fanout" / lit(span)).cast("int")))
           .cast("int").as("salt"),
         $"doc_id", $"tf", $"dl")
       .as[SaltedTf]

@@ -119,21 +119,17 @@ object Catalog {
   }
 
   /** Snapshot fingerprint of an input directory — Iceberg snapshot-id stand-in:
-    * hash over (relative path, length, mtime) of every data file.
+    * hash over (relative path, length, mtime) of every data file, listed via
+    * the Hadoop FileSystem API (works on local/HDFS/S3; the old NIO walk
+    * returned "absent" for every remote path, which a stale manifest could
+    * match — "absent" is now rejected by Manifests.isComplete).
     */
   def fingerprint(path: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(path).toAbsolutePath.normalize()
-    if (!Files.exists(p)) return "absent"
-    val entries =
-      if (Files.isDirectory(p))
-        Files.walk(p).iterator().asScala
-          .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_"))
-          .toSeq
-      else Seq(p)
+    val entries = Fs.listDataFiles(path)
+    if (entries.isEmpty && !Fs.exists(path)) return "absent"
+    val rootPrefix = new org.apache.hadoop.fs.Path(path).toUri.getPath
     val desc = entries
-      .map(f => s"${p.relativize(f.toAbsolutePath.normalize())}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .map { case (f, len, mtime) => s"${f.stripPrefix(rootPrefix)}:$len:$mtime" }
       .sorted.mkString("\n")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)

@@ -130,6 +130,9 @@ object SearchEngine {
     val bcQm = spark.sparkContext.broadcast(qm)
     val shards = shardsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val width = math.max(1L, (meta.doc_id_space + shards - 1) / shards)
+    // incrementally-grown indexes carry stale stored bounds (avgdl drift) —
+    // robust bounds are mandatory there, independent of the caller's flag
+    val robust = robustBounds || meta.incremental
 
     queryPostings(spark, paths, qm, meta.buckets)
       .flatMap { b =>
@@ -148,7 +151,7 @@ object SearchEngine {
         while (ti < qmv.terms.length) {
           byTerm.get(qmv.terms(ti)).foreach { bs =>
             cursors += new Wand.TermCursor(qmv.idfs(ti), bs.sortBy(_.first_doc),
-              qmv.avgdl, hi, robustBounds)
+              qmv.avgdl, hi, robust)
           }
           ti += 1
         }
@@ -179,7 +182,7 @@ object SearchEngine {
   def hydrate(spark: SparkSession, root: String, hits: DataFrame): DataFrame = {
     val paths = IndexPaths(root)
     val m =
-      if (new java.io.File(paths.corpusSorted).exists())
+      if (graft.io.Fs.exists(paths.corpusSorted))
         Catalog.readNumbered(spark, paths).toDF()
       else Catalog.readDocidMap(spark, paths).toDF()
     broadcast(hits).join(m, "doc_id")

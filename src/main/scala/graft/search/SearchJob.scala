@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * spark-submit --class graft.search.SearchJob <jar> \
   *   --index <index root> --query "join window vector" [--k 10] \
-  *   [--mode wand|exhaustive] [--hydrate]
+  *   [--mode wand|exhaustive] [--hydrate] [--robust-bounds]
+  *
+  * `--robust-bounds` forces WAND block bounds recomputed against the current
+  * avgdl; indexes marked incremental (streaming-grown) use them automatically.
   * }}}
   */
 object SearchJob {
@@ -17,7 +20,8 @@ object SearchJob {
       query: String = "",
       k: Int = 10,
       mode: String = "wand",
-      hydrate: Boolean = false)
+      hydrate: Boolean = false,
+      robustBounds: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -29,6 +33,7 @@ object SearchJob {
         case "--k" => a = a.copy(k = argv(i + 1).toInt); i += 2
         case "--mode" => a = a.copy(mode = argv(i + 1)); i += 2
         case "--hydrate" => a = a.copy(hydrate = true); i += 1
+        case "--robust-bounds" => a = a.copy(robustBounds = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -44,7 +49,8 @@ object SearchJob {
     spark.sparkContext.setLogLevel("WARN")
     val terms = a.query.split("\\s+").toSeq
     val hits = a.mode match {
-      case "wand" => SearchEngine.topKWand(spark, a.index, terms, a.k)
+      case "wand" =>
+        SearchEngine.topKWand(spark, a.index, terms, a.k, robustBounds = a.robustBounds)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }

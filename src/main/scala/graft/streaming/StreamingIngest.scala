@@ -36,7 +36,7 @@ object StreamingIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     val paths = IndexPaths(root)
-    val exists = new java.io.File(s"$root/meta").exists()
+    val exists = graft.io.Fs.exists(s"$root/meta")
     val (off, n0, tot0) =
       if (exists) {
         val m = Indexer.readMeta(spark, root)
@@ -59,7 +59,8 @@ object StreamingIngest {
     val tf = TermFreqs.fromDocs(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tstats = TermFreqs.termStats(tf)
     val heavy = SaltPlan.heavyTerms(tstats, targetRun)
-    val salted = SaltPlan.salt(tf, heavy, off + batchStats.n_docs)
+    // batch-local salt range: the segment's doc_ids live in [off, off+n)
+    val salted = SaltPlan.saltRange(tf, heavy, off, off + batchStats.n_docs)
     val blocks = Spimi.buildBlocks(salted, avgdlNew, buckets, parts)
 
     // append the delta segment
@@ -86,29 +87,30 @@ object StreamingIngest {
     val stats = CorpusStats(nNew, totNew, avgdlNew)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(s"$root/corpus_stats_new")
     swap(spark, s"$root/corpus_stats_new", paths.corpusStats)
-    Seq(IndexMeta(buckets, targetRun, off + batchStats.n_docs))
+    Seq(IndexMeta(buckets, targetRun, off + batchStats.n_docs, incremental = true))
       .toDS().write.mode(SaveMode.Overwrite).parquet(s"$root/meta_new")
     swap(spark, s"$root/meta_new", s"$root/meta")
     stats
   }
 
   /** Atomic-ish replace (write-new + rename) so readers never see a
-    * half-written stats table between micro-batches.
+    * half-written stats table between micro-batches. Hadoop FS rename —
+    * works on any cluster filesystem, not just local.
     */
-  private def swap(spark: SparkSession, newPath: String, path: String): Unit = {
-    val dst = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteQuietly(dst)
-    if (!new java.io.File(newPath).renameTo(dst))
-      throw new java.io.IOException(s"rename $newPath -> $path failed")
-  }
+  private def swap(spark: SparkSession, newPath: String, path: String): Unit =
+    graft.io.Fs.replace(newPath, path)
 
   /** Structured Streaming entry: watch a directory of turn parquet files and
-    * index each micro-batch incrementally.
+    * index each micro-batch incrementally. `compactEvery` > 0 runs segment
+    * compaction (index.Compaction) after every N batches, bounding file and
+    * run counts over a long-running stream.
     */
   def start(spark: SparkSession, inputDir: String, root: String,
-      checkpoint: String, buckets: Int = 8, targetRun: Long = 1 << 16): StreamingQuery = {
+      checkpoint: String, buckets: Int = 8, targetRun: Long = 1 << 16,
+      compactEvery: Int = 0): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[Turn].schema
+    var batches = 0L
     spark.readStream
       .schema(schema)
       .parquet(inputDir)
@@ -116,7 +118,10 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Turn], _: Long) =>
-        ingestBatch(batch, root, buckets, targetRun): Unit
+        ingestBatch(batch, root, buckets, targetRun)
+        batches += 1
+        if (compactEvery > 0 && batches % compactEvery == 0)
+          Compaction.compact(spark, root)
       }
       .start()
   }

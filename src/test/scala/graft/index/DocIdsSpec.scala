@@ -32,6 +32,24 @@ class DocIdsSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("assignment leaves no persisted blocks behind (VERDICT r1 item 6)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DocIds.assign(Fixtures.sfUnit.toDS(), 4).collect()
+    DocIds.denseIds(Fixtures.sfUnit.toDS().toDF(), Seq("conv_id", "turn_idx"), 4).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before, s"leaked RDD ids: ${after -- before}")
+  }
+
+  test("assignment is deterministic across repeated executions of the plan") {
+    import spark.implicits._
+    val ds = new scala.util.Random(3).shuffle(Fixtures.sfUnit).toDS().repartition(5)
+    val numbered = DocIds.assign(ds, 4)
+    val a = numbered.collect().sortBy(_.doc_id).toSeq
+    val b = numbered.collect().sortBy(_.doc_id).toSeq // re-execute same lazy plan
+    assert(a == b)
+  }
+
   test("per-turn text equality under stable turn ordering") {
     import spark.implicits._
     val turns = Fixtures.sfUnit

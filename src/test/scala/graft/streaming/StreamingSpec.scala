@@ -64,6 +64,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("segment compaction: identical results, fewer files/runs/blocks, fresh bounds") {
+    import spark.implicits._
+    val base = s"/tmp/graft-compact-${System.nanoTime()}"
+    val root = s"$base/idx"
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+
+    val all = Fixtures.turns(24, 25)
+    val slices = Seq(all.filter(_.conv_id < "c000008"),
+      all.filter(t => t.conv_id >= "c000008" && t.conv_id < "c000016"),
+      all.filter(_.conv_id >= "c000016"))
+    val q = StreamingIngest.start(spark, inDir, root, s"$base/cp",
+      buckets = 4, targetRun = 256)
+    try {
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        slice.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/tmp$i")
+        val src = new java.io.File(s"$base/tmp$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(src.toPath,
+          new java.io.File(s"$inDir/slice$i.parquet").toPath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def postingsFiles() = graft.io.Fs.listDataFiles(IndexPaths(root).postings)
+      .count(_._1.endsWith(".parquet"))
+    def blockStats() = spark.read.parquet(IndexPaths(root).postings)
+      .selectExpr("count(*) AS blocks", "max(run_id) AS max_run").head()
+
+    val queries = Seq(Seq(Fixtures.term(0)), Seq(Fixtures.term(3), Fixtures.term(950)))
+    val before = queries.map(t => hits(SearchEngine.topKWand(spark, root, t, 10)))
+    val filesBefore = postingsFiles()
+    val blocksBefore = blockStats().getLong(0)
+    assert(graft.index.Indexer.readMeta(spark, root).incremental)
+
+    graft.index.Compaction.compact(spark, root)
+
+    // identical results through the DEFAULT query path (meta now marks the
+    // bounds fresh, so this exercises exact stored block maxima again)
+    val after = queries.map(t => hits(SearchEngine.topKWand(spark, root, t, 10)))
+    assert(after == before)
+    val exhaustive = queries.map(t => hits(SearchEngine.topKExhaustive(spark, root, t, 10)))
+    assert(after == exhaustive)
+    assert(!graft.index.Indexer.readMeta(spark, root).incremental)
+
+    val s = blockStats()
+    assert(s.getInt(1) == 0, "compaction must collapse every term to one run")
+    assert(s.getLong(0) < blocksBefore, "compaction must merge under-filled blocks")
+    assert(postingsFiles() <= filesBefore, "compaction must not grow the file count")
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     val base = s"/tmp/graft-stream-agg-${System.nanoTime()}"
