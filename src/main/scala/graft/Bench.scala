@@ -20,9 +20,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // Warm up: build the shared documents index once so per-query timings
-    // measure queries, not the one-time build.
+    // Warm up the build-once index artifacts (scored index, positional
+    // index, LSH bucket table) so per-query timings measure queries, not
+    // one-time builds — the artifacts are built once and probed many times
+    // in production, and their build cost is measured separately
+    // (build_turns_per_sec / ScalingBench).
     IndexCache.documentsIndex(spark, sfDir)
+    IndexCache.positionalIndex(spark, sfDir)
+    IndexCache.lshBucketsPath(spark, sfDir)
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)
