@@ -41,9 +41,9 @@ object IndexCache {
     */
   def lshBucketsPath(spark: SparkSession, sfDir: String, planes: Int = 8): String =
     synchronized {
-      lshBuilt.getOrElseUpdate(sfDir, {
+      lshBuilt.getOrElseUpdate(s"$sfDir#$planes", {
         val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"/tmp/graft-index-$jvmTag/$key/lsh_buckets"
+        val path = s"/tmp/graft-index-$jvmTag/$key/lsh_buckets_$planes"
         graft.operators.Embeddings
           .lshBuckets(Catalog.readTable(spark, sfDir, "embeddings"), planes)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)

@@ -404,6 +404,46 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Embedding-cosine near-dup pairs: LSH-bucketed (hamming ≤ 1) candidate
+    * pairs, exact cosine ≥ tau — identical bucketing to the Spark operator.
+    */
+  def embCosinePairs(tau: Double, planes: Int = 4, dims: Int = 64): String =
+    s"""WITH hp AS (
+       |  SELECT i, j,
+       |    ((strpos('0123456789abcdef', substr(md5(concat(i, '_', j)), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(concat(i, '_', j)), 2, 1)) - 1)
+       |     - 127.5) / 128.0 AS w
+       |  FROM range(0, $planes) a(i) CROSS JOIN range(0, $dims) b(j)),
+       |proj AS (
+       |  SELECT vec_id, i, sum(w * CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE)) AS proj
+       |  FROM embeddings CROSS JOIN hp GROUP BY vec_id, i),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj >= 0
+       |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id, bucket FROM buckets
+       |  UNION
+       |  SELECT vec_id, xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT)) AS bucket
+       |  FROM buckets CROSS JOIN range(0, $planes) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM probes x JOIN buckets y
+       |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+       |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos_r6
+       |  FROM cand JOIN embeddings a ON vec_a = a.vec_id
+       |            JOIN embeddings b ON vec_b = b.vec_id)
+       |SELECT vec_a, vec_b, cos_r6 FROM scored
+       |WHERE cos_r6 >= $tau ORDER BY vec_a, vec_b""".stripMargin
+
   /** Scored phrase top-k: BM25 with tf = phrase frequency (count of
     * consecutive-position match starts), df = docs containing the phrase.
     */

@@ -132,6 +132,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       Embeddings.annLshTopK(s, dir, 0L, K,
         bucketsPath = Some(IndexCache.lshBucketsPath(s, dir)))),
+    "dedup_emb_cosine" -> ((s, dir) =>
+      Embeddings.embCosinePairs(s, dir, 0.4, planes = 4,
+        bucketsPath = Some(IndexCache.lshBucketsPath(s, dir, planes = 4)))),
     // --- training-data pipeline: multimodal plumbing -------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     // --- phrase (positional) matching: relational + index-backed paths -------
@@ -210,6 +213,7 @@ object SparkEntry {
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
     "emb_cosine_topk" -> OracleSql.embCosineTopK(0L, K),
     "ann_lsh_topk" -> OracleSql.annLshTopK(0L, K),
+    "dedup_emb_cosine" -> OracleSql.embCosinePairs(0.4),
     "media_meta" -> OracleSql.mediaMeta,
     "phrase_match" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "phrase_match_indexed" -> OracleSql.phraseMatch(Seq("join", "hash")),

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.model.{DocIdEntry, NumberedTurn, Turn}
@@ -9,18 +9,22 @@ import graft.model.{DocIdEntry, NumberedTurn, Turn}
   *
   * doc_id = 0-based rank of (conv_id, turn_idx) under lexicographic order —
   * the "stable turn ordering" invariant of the north star. RDD-free,
-  * persist-free, and deterministic across executions:
+  * persist-free, deterministic across executions, and pure Column DSL:
   *
   *   1. collect explicit range boundaries from a fixed-seed key sample
   *      (a driver-side array of ≤ 32·P keys — O(P), not O(N));
-  *   2. `__part` = binary search of each row's key against the broadcast
-  *      boundaries — a PURE FUNCTION of row content, so every pass computes
-  *      the identical assignment with no cross-job coordination;
+  *   2. `__part` = count of boundaries ≤ key, as a codegen'd Column
+  *      expression of scalar lexicographic comparison chains — a PURE
+  *      FUNCTION of row content, so every pass computes the identical
+  *      assignment with no cross-job coordination;
   *   3. per-part counts → driver prefix sums (a P-row aggregate);
-  *   4. hash-repartition by `__part` (never splits a part), sort within
-  *      partitions by (part, keys), zip from the part's offset.
+  *   4. hash-repartition on `__part` (never splits a part; balanced by
+  *      boundary construction), partition-local sort, one streaming zip
+  *      pass from the part's offset. (A row_number window over `__part`
+  *      computes the same thing but WindowExec buffers each whole part
+  *      group — measured slower at 16M rows.)
   *
-  * Why not `repartitionByRange` + persist (the previous design): Spark's
+  * Why not `repartitionByRange` + persist (the round-1 design): Spark's
   * RangePartitioner seeds its reservoir sample with the RDD id, so two
   * executions of the same plan can draw different boundaries — the count
   * pass and the zip pass only agreed while the sorted corpus stayed
@@ -28,13 +32,12 @@ import graft.model.{DocIdEntry, NumberedTurn, Turn}
   * Dataset is lazy; callers act on it after assign returns). Content-based
   * partition assignment removes the coordination problem instead of caching
   * around it: no persisted blocks, and re-executions (including Verify's
-  * write actions and resumed builds) are bit-stable by construction.
+  * write actions and resumed builds) are stable by construction.
   *
-  * Scale: three passes over the input — a count (Parquet answers it from
-  * footer metadata), a key-columns-only scan (column-pruned) for the part
-  * histogram, and the full-row zip pass. At 10^12 turns each pass is
-  * embarrassingly parallel and the only exchange is the one hash shuffle
-  * on `__part` (uniform by construction — boundaries equalize counts).
+  * Scale: a count (Parquet answers it from footer metadata), a key-pruned
+  * histogram scan, and the windowed pass with ONE hash exchange on the
+  * uniform `__part` key. This is NOT the single-partition global-window
+  * anti-pattern: the window partitions by `__part`, so parallelism = P.
   */
 object DocIds {
 
@@ -67,17 +70,6 @@ object DocIds {
     0
   }
 
-  /** Part of a key = number of boundaries ≤ key (upper-bound binary search). */
-  private def partOf(key: Array[Any], bounds: Array[Array[Any]]): Int = {
-    var lo = 0
-    var hi = bounds.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (compareKeys(key, bounds(mid)) < 0) hi = mid else lo = mid + 1
-    }
-    lo
-  }
-
   /** Explicit deterministic range boundaries from a fixed-seed sample:
     * ≤ numPartitions−1 keys splitting the key space into balanced parts.
     */
@@ -99,38 +91,50 @@ object DocIds {
       .toArray
   }
 
+  /** `__part` as a pure Column expression: the number of boundaries ≤ key.
+    * Each boundary test is an explicit lexicographic chain of SCALAR
+    * comparisons — `k1 > b1 OR (k1 = b1 AND (k2 > b2 OR ...))` — rather
+    * than a struct comparison: `struct(cols) >= struct(lits)` allocates a
+    * fresh InternalRow (copying every key, strings included) per boundary
+    * per row in codegen, which measured as the dominant docid cost at 16M
+    * rows × 31 boundaries. Scalar chains allocate nothing and Or/And
+    * codegen short-circuits on the first column. Linear in the boundary
+    * count as an expression tree; at cluster scale chunk via a coarse
+    * pre-bucket if P grows to many thousands.
+    */
+  private def partCol(sortCols: Seq[String], bounds: Array[Array[Any]]) = {
+    import org.apache.spark.sql.functions.{lit, when}
+    def geq(b: Array[Any]): Column = {
+      // lexicographic key >= boundary, innermost-first
+      val last = sortCols.length - 1
+      (0 until last).foldRight(col(sortCols(last)) >= lit(b(last))) { (i, inner) =>
+        col(sortCols(i)) > lit(b(i)) || (col(sortCols(i)) === lit(b(i)) && inner)
+      }
+    }
+    bounds.foldLeft(lit(0)) { (acc, b) => acc + when(geq(b), 1).otherwise(0) }
+  }
+
   /** Generic dense-rank assignment: prepend `rid` = 0-based rank of the row
-    * under lexicographic `sortCols` order. Output rows are grouped by part
-    * and key-sorted within partitions (not globally ordered — add an
-    * `orderBy` downstream if presentation order matters).
+    * under lexicographic `sortCols` order. One exchange (hash on the
+    * balanced `__part`; never splits a part), partition-local sort, and a
+    * single streaming zip pass from the part's offset — no WindowExec
+    * (which would buffer each whole part group in memory/spill), no
+    * persisted state. Output rows are key-sorted within partitions (add an
+    * `orderBy` downstream if global presentation order matters).
     */
   def denseIds(df: DataFrame, sortCols: Seq[String], numPartitions: Int): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
 
     val totalRows = df.count()
     val bounds = sampleBoundaries(df, sortCols, numPartitions, totalRows)
-    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val part = partCol(sortCols, bounds)
 
-    // __part: pure function of row content (identical in every pass);
-    // key indices resolved against each input's own schema, since the
-    // histogram pass runs over a sortCols-only projection
-    def withPart(in: DataFrame): DataFrame = {
-      val schema = StructType(in.schema.fields :+ StructField("__part", IntegerType, nullable = false))
-      val keyIdx = sortCols.map(in.schema.fieldIndex).toArray
-      in.mapPartitions { it =>
-        val bs = bcBounds.value
-        it.map { r =>
-          val key = Array.tabulate[Any](keyIdx.length)(i => r.get(keyIdx(i)))
-          Row.fromSeq(r.toSeq :+ partOf(key, bs))
-        }
-      }(org.apache.spark.sql.Encoders.row(schema))
-    }
-
-    // per-part histogram from the key-pruned scan → prefix-sum offsets
+    // exact per-part histogram (key-pruned codegen'd scan) → prefix offsets
     val numParts = bounds.length + 1
-    val counts = withPart(df.select(sortCols.map(col): _*))
-      .groupBy(col("__part")).agg(count(lit(1)).as("n"))
+    val counts = df.select(part.as("__part")).groupBy(col("__part"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = new Array[Long](numParts)
     var acc = 0L
@@ -143,8 +147,7 @@ object DocIds {
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
     val outSchema = StructType(StructField("rid", LongType, nullable = false) +: df.schema.fields)
-    implicit val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
-    withPart(df)
+    df.withColumn("__part", part)
       .repartition(numParts, col("__part"))
       .sortWithinPartitions(col("__part") +: sortCols.map(col): _*)
       .mapPartitions { it =>
@@ -158,7 +161,8 @@ object DocIds {
           id += 1
           out
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .select(col("rid") +: df.columns.map(col): _*)
   }
 
   def assign(turns: Dataset[Turn], numPartitions: Int): Dataset[NumberedTurn] = {

@@ -88,6 +88,44 @@ object Embeddings {
       .toDF("vec_id", "bucket")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-stage form of
+    * similarity search): candidate pairs from the LSH bucket table —
+    * vectors whose bucket codes differ in ≤ 1 bit (one side probe-expanded
+    * with every 1-bit flip, joined against the other side's exact bucket) —
+    * then exact cosine ≥ tau on candidates only. Approximate by design
+    * (candidate recall set by `planes`; fewer planes = bigger buckets =
+    * higher recall and cost); the DuckDB oracle replays the identical
+    * bucketing, so the output is deterministic and exactly comparable.
+    * At 100 TB this is the scale path: candidates ≈ Σ per-bucket n², never
+    * the corpus-wide n².
+    */
+  def embCosinePairs(spark: SparkSession, sfDir: String, tau: Double,
+      planes: Int = 4, bucketsPath: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val emb = Catalog.readTable(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val buckets = bucketsPath
+      .map(p => spark.read.parquet(p))
+      .getOrElse(lshBuckets(emb, planes))
+    val probeCols = col("bucket") +: (0 until planes).map(i =>
+      expr(s"bucket ^ shiftleft(CAST(1 AS BIGINT), $i)"))
+    val probes = buckets.select($"vec_id", explode(array(probeCols: _*)).as("bucket"))
+    val cand = probes.as("x")
+      .join(buckets.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        round(
+          expr(dotExpr("ea", "eb")) /
+            (sqrt(expr(dotExpr("ea", "ea"))) * sqrt(expr(dotExpr("eb", "eb")))),
+          6).as("cos_r6"))
+      .filter($"cos_r6" >= tau)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** ANN: multi-probe search over the (precomputed) bucket table — the
     * probe's exact bucket plus every 1-bit flip — exact cosine inside the
     * probed buckets. `bucketsPath` points at the persisted bucket table

@@ -130,6 +130,23 @@ object Wand {
     }
   }
 
+  /** Insertion sort by curDoc over the first n slots — the classic WAND
+    * order repair: cursors only move forward, so the array is nearly sorted
+    * each round and repair is O(T) typical, allocation-free (the previous
+    * sortBy allocated a fresh buffer + boxed comparisons every pivot loop).
+    */
+  private def repairOrder(a: Array[TermCursor], n: Int): Unit = {
+    var i = 1
+    while (i < n) {
+      val x = a(i)
+      val d = x.curDoc
+      var j = i - 1
+      while (j >= 0 && a(j).curDoc > d) { a(j + 1) = a(j); j -= 1 }
+      a(j + 1) = x
+      i += 1
+    }
+  }
+
   /** Score one shard; returns its local top-k (unordered). `cursors` must be
     * in sorted-term order (fixed summation order).
     */
@@ -139,39 +156,52 @@ object Wand {
     var i = 0
     while (i < cursors.length) { cursors(i).seek(lo); i += 1 }
 
-    val live = new ArrayBuffer[TermCursor](cursors.length)
+    // live cursors maintained in curDoc order across rounds
+    val arr = new Array[TermCursor](cursors.length)
+    var n = 0
     var done = false
     while (!done) {
-      live.clear()
-      var j = 0
-      while (j < cursors.length) {
-        if (!cursors(j).exhausted) live += cursors(j)
-        j += 1
+      // drop exhausted, repair order (compact in place from the full set on
+      // the first round, from the previous round's survivors after)
+      if (n == 0) {
+        var j = 0
+        while (j < cursors.length) {
+          if (!cursors(j).exhausted) { arr(n) = cursors(j); n += 1 }
+          j += 1
+        }
+      } else {
+        var w = 0
+        var r = 0
+        while (r < n) {
+          if (!arr(r).exhausted) { arr(w) = arr(r); w += 1 }
+          r += 1
+        }
+        n = w
       }
-      if (live.isEmpty) done = true
+      repairOrder(arr, n)
+      if (n == 0) done = true
       else {
-        val sorted = live.sortBy(_.curDoc)
         val theta = heap.theta
         // pivot: first p with cumulative term UB >= theta
         var cum = 0.0
         var p = -1
         var s = 0
-        while (p < 0 && s < sorted.length) {
-          cum += sorted(s).termUB
+        while (p < 0 && s < n) {
+          cum += arr(s).termUB
           if (cum >= theta) p = s
           s += 1
         }
         if (p < 0) done = true // total UB < theta: nothing left can qualify
         else {
-          val pivot = sorted(p).curDoc
+          val pivot = arr(p).curDoc
           // extend pivot over cursors sharing the same curDoc
-          while (p + 1 < sorted.length && sorted(p + 1).curDoc == pivot) p += 1
+          while (p + 1 < n && arr(p + 1).curDoc == pivot) p += 1
           // shallow block-max check over terms 0..p
           var bub = 0.0
           var minLast = Long.MaxValue
           var q = 0
           while (q <= p) {
-            val (ub, last) = sorted(q).blockInfoFor(pivot)
+            val (ub, last) = arr(q).blockInfoFor(pivot)
             bub += ub
             if (last < minLast) minLast = last
             q += 1
@@ -180,15 +210,15 @@ object Wand {
             // rank-safe skip: no doc in [pivot, minLast] (terms 0..p only)
             // can reach theta; jump past the tightest block boundary, capped
             // by the next pivot candidate beyond p.
-            val nextCur = if (p + 1 < sorted.length) sorted(p + 1).curDoc else Long.MaxValue
+            val nextCur = if (p + 1 < n) arr(p + 1).curDoc else Long.MaxValue
             val jump0 = if (minLast == Long.MaxValue) Long.MaxValue else minLast + 1
             val dNew = math.min(jump0, nextCur)
             var r = 0
-            while (r <= p) { sorted(r).seek(dNew); r += 1 }
+            while (r <= p) { arr(r).seek(dNew); r += 1 }
           } else {
             var allAtPivot = true
             var r = 0
-            while (r < p) { if (sorted(r).curDoc != pivot) allAtPivot = false; r += 1 }
+            while (r < p) { if (arr(r).curDoc != pivot) allAtPivot = false; r += 1 }
             if (allAtPivot) {
               // exact evaluation in original (sorted-term) cursor order
               var sc = 0.0
@@ -207,7 +237,7 @@ object Wand {
               // cursors 0..p-1 hold all docs < pivot and their UB sum < theta:
               // advancing them to pivot is rank-safe
               r = 0
-              while (r < p) { sorted(r).seek(pivot); r += 1 }
+              while (r < p) { arr(r).seek(pivot); r += 1 }
             }
           }
         }
