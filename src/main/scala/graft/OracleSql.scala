@@ -71,6 +71,30 @@ object OracleSql {
     sets.mkString("", "\nUNION\n", "\nORDER BY doc_id")
   }
 
+  /** ES prefix query: docs containing any term with the prefix. */
+  def queryPrefix(prefix: String): String =
+    s"""SELECT DISTINCT doc_id
+       |FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |WHERE term LIKE '$prefix%' ORDER BY doc_id""".stripMargin
+
+  /** ES fuzzy query: vocabulary expansion within `maxDist` edits (term-
+    * ordered, capped), then the disjunction of the expanded terms.
+    */
+  def queryFuzzy(term: String, maxDist: Int = 1, maxExpansions: Int = 50): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |exp AS (SELECT term FROM vocab WHERE levenshtein(term, '$term') <= $maxDist
+       |        ORDER BY term LIMIT $maxExpansions)
+       |SELECT DISTINCT doc_id FROM tok JOIN exp USING (term) ORDER BY doc_id""".stripMargin
+
+  /** ES percentiles aggregation: exact interpolated quantiles per group. */
+  val percentilesValue: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 6) AS p50_r6,
+      |       round(quantile_cont(value, 0.95), 6) AS p95_r6,
+      |       round(quantile_cont(value, 0.99), 6) AS p99_r6
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Exact distinct-count aggregation over events. */
   val distinctUsers: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

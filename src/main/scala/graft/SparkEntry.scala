@@ -76,6 +76,15 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       Booleans.andNot(s, idx.paths.root, "join", "window")
     }),
+    // --- term-expansion queries (ES prefix/fuzzy analogs) --------------------
+    "query_prefix" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.TermQueries.prefix(s, idx.paths.root, "s")
+    }),
+    "query_fuzzy" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.TermQueries.fuzzy(s, idx.paths.root, "joln")
+    }),
     // --- index artifacts vs from-scratch SQL --------------------------------
     "term_stats" -> ((s, dir) => {
       import s.implicits._
@@ -110,6 +119,7 @@ object SparkEntry {
       Relational.facetByTerm(s, idx.paths.root, dir, "join", "source")
     }),
     "date_histogram" -> ((s, dir) => Relational.dateHistogram(s, dir)),
+    "percentiles_value" -> ((s, dir) => Relational.percentilesValue(s, dir)),
     "json_k" -> ((s, dir) => Relational.jsonK(s, dir)),
     "sessionize_events" -> ((s, dir) => Relational.sessionizeEvents(s, dir)),
     "window_rank" -> ((s, dir) => Relational.topLineitemsPerSupplier(s, dir)),
@@ -196,6 +206,9 @@ object SparkEntry {
     "dense_ids" -> OracleSql.denseIds,
     "facet_source" -> OracleSql.facet("join", "source"),
     "date_histogram" -> OracleSql.dateHistogram,
+    "percentiles_value" -> OracleSql.percentilesValue,
+    "query_prefix" -> OracleSql.queryPrefix("s"),
+    "query_fuzzy" -> OracleSql.queryFuzzy("joln"),
     "json_k" -> OracleSql.jsonK,
     "sessionize_events" -> OracleSql.sessionizeEvents,
     "window_rank" -> OracleSql.windowRank,

@@ -30,6 +30,23 @@ object Relational {
       .orderBy(col(facetCol))
   }
 
+  /** ES percentiles-aggregation analog: exact interpolated percentiles of
+    * `value` per event type (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * both linear interpolation). Exact percentile buffers each group's
+    * values — at 100 TB swap in `approx_percentile` (t-digest, mergeable,
+    * bounded memory) when the per-group exactness trade is acceptable.
+    */
+  def percentilesValue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50_r6"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95_r6"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99_r6"))
+      .orderBy($"event_type")
+  }
+
   /** ES date_histogram analog: tumbling daily buckets over events. */
   def dateHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
