@@ -21,7 +21,8 @@ object OracleSql {
     * idf, ties (score DESC, doc_id ASC)); scores rounded to 4 decimals to be
     * hash-stable across engines.
     */
-  def bm25TopK(terms: Seq[String], k: Int): String = {
+  def bm25TopK(terms: Seq[String], k: Int, minMatch: Int = 1,
+      offset: Int = 0): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
     s"""WITH dls AS (
        |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
@@ -45,7 +46,8 @@ object OracleSql {
        |)
        |SELECT doc_id, round(sum(c), 4) AS score_r4
        |FROM contrib GROUP BY doc_id
-       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+       |HAVING count(*) >= $minMatch
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k OFFSET $offset""".stripMargin
   }
 
   /** Top-k hydrated with document metadata (the decode + hydration join,

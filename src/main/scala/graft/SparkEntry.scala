@@ -49,6 +49,21 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       SearchEngine.topKWandRounded(s, idx.paths.root, Seq("zebra"), K)
     }),
+    // scored conjunction / minimum_should_match / pagination (ES match
+    // operator=and, bool should + mmm, from/size)
+    "bm25_match_and" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKMinShouldMatch(s, idx.paths.root, Seq("join", "hash"), K, 2)
+    }),
+    "bm25_should_mm" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKMinShouldMatch(s, idx.paths.root,
+        Seq("join", "window", "vector"), K, 2)
+    }),
+    "bm25_from_size" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKFromSize(s, idx.paths.root, Seq("join", "window", "vector"), K, K)
+    }),
     // hydration join (§2 row 18): top-k hits joined back to doc metadata —
     // broadcast-hash join, k rows on the build side
     "bm25_topk_hydrated" -> ((s, dir) => {
@@ -196,6 +211,9 @@ object SparkEntry {
     "bm25_partial_miss" -> OracleSql.bm25TopK(Seq("join", "zebra"), K),
     "bm25_empty" -> OracleSql.bm25TopK(Seq("zebra"), K),
     "bm25_topk_hydrated" -> OracleSql.bm25TopKHydrated(Seq("join", "window", "vector"), K),
+    "bm25_match_and" -> OracleSql.bm25TopK(Seq("join", "hash"), K, minMatch = 2),
+    "bm25_should_mm" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, minMatch = 2),
+    "bm25_from_size" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, offset = K),
     "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
     "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),
     "bool_and" -> OracleSql.boolAnd(Seq("join", "hash")),

@@ -108,6 +108,70 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** Scored BM25 top-k with `minimum_should_match` (ES bool/should + mmm;
+    * minMatch = #terms is the ES `match` operator=and form): only docs
+    * containing at least `minMatch` distinct query terms qualify; the score
+    * is the usual sum over present terms. Decode emits one row per
+    * (term, doc) — runs are docID-disjoint — so the per-doc row count IS
+    * the distinct-term count. Exhaustive over the pruned postings scan;
+    * rank-safe WAND-style mm-pruning exists (upper bounds per term subset)
+    * but the pruned scan is already restricted to the query terms' buckets,
+    * which is the dominant saving.
+    */
+  def topKMinShouldMatch(spark: SparkSession, root: String,
+      rawTerms: Seq[String], k: Int, minMatch: Int): DataFrame = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val qm = queryModel(spark, paths, rawTerms, k)
+    if (qm.isEmpty) return emptyHits(spark)
+    val bcQm = spark.sparkContext.broadcast(qm)
+
+    queryPostings(spark, paths, qm, meta.buckets)
+      .flatMap { b =>
+        val qmv = bcQm.value
+        val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
+        if (ti < 0) Iterator.empty
+        else {
+          val idf = qmv.idfs(ti)
+          val d = Blocks.decode(b)
+          (0 until d.docs.length).iterator.map(i =>
+            (d.docs(i), ti, idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, qmv.avgdl)))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val arr = it.toArray.sortBy(_._2) // fixed summation order
+        if (arr.length < minMatch) Iterator.empty
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < arr.length) { s += arr(i)._3; i += 1 }
+          Iterator.single(Hit(docId, s))
+        }
+      }
+      .toDF()
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  /** ES from/size pagination: rows (from, from+size] of the ranking. The
+    * WAND pass retrieves the top from+size (tiny), then a window over that
+    * ≤ from+size-row result assigns ranks — single-partition by design at
+    * cursor scale, never over the corpus.
+    */
+  def topKFromSize(spark: SparkSession, root: String, rawTerms: Seq[String],
+      from: Int, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    topKWand(spark, root, rawTerms, from + size)
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rn" > from)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
   /** Block-Max WAND top-k (SURVEY.md §3.2) — the production query path.
     *
     * The index is term-bucketed on disk (scan pruning) but scoring is

@@ -19,6 +19,19 @@ class WandSpec extends AnyFunSuite {
   private def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  test("minimum_should_match: m=1 equals plain ranking; m=n equals AND-filtered") {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    val terms = Seq("join", "window", "vector")
+    val m1 = hits(SearchEngine.topKMinShouldMatch(spark, idx.paths.root, terms, 10, 1))
+    val plain = hits(SearchEngine.topKWandRounded(spark, idx.paths.root, terms, 10))
+    assert(m1 == plain)
+    val mAll = SearchEngine.topKMinShouldMatch(spark, idx.paths.root, terms, 500, terms.size)
+      .collect().map(_.getLong(0)).toSet
+    val andSet = Booleans.and(spark, idx.paths.root, terms)
+      .collect().map(_.getLong(0)).toSet
+    assert(mAll == andSet, "m = #terms must rank exactly the conjunction's doc set")
+  }
+
   test("WAND bit-identical to exhaustive on documents corpus") {
     val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
     val vocab = ("a agg batch big column customer data dup fast filter group hash join key " +
