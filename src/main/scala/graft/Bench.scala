@@ -27,7 +27,8 @@ object Bench {
     // (build_turns_per_sec / ScalingBench).
     IndexCache.documentsIndex(spark, sfDir)
     IndexCache.positionalIndex(spark, sfDir)
-    IndexCache.lshBucketsPath(spark, sfDir)
+    IndexCache.lshBucketsPath(spark, sfDir)            // ANN probes (planes=8)
+    IndexCache.lshBucketsPath(spark, sfDir, planes = 4) // near-dup pairs
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

@@ -162,6 +162,9 @@ object SparkEntry {
         bucketsPath = Some(IndexCache.lshBucketsPath(s, dir, planes = 4)))),
     // --- training-data pipeline: multimodal plumbing -------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    // real JDK-ImageIO decode over synthesized PNG bytes — no SQL oracle
+    // (rows-only driver check); correctness pinned by MultimodalSpec
+    "media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
     // --- phrase (positional) matching: relational + index-backed paths -------
     "phrase_match" -> ((s, dir) => Phrase.phraseMatch(s, dir, Seq("join", "hash"))),
     "phrase_match_indexed" -> ((s, dir) => {
