@@ -114,14 +114,33 @@ object Embeddings {
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+    // typed tight-loop cosine: Spark's array higher-order functions are NOT
+    // whole-stage-codegen'd, and the candidate set (≈ Σ per-bucket n²) is
+    // orders of magnitude larger than a top-k probe — interpreted per-element
+    // lambdas measured ~5× slower here. Identical math and summation order
+    // (ascending index, doubles); rounding stays a Column `round` so the
+    // DuckDB twin matches bit-for-bit.
+    import spark.implicits._
     cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
       .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
-      .select($"vec_a", $"vec_b",
-        round(
-          expr(dotExpr("ea", "eb")) /
-            (sqrt(expr(dotExpr("ea", "ea"))) * sqrt(expr(dotExpr("eb", "eb")))),
-          6).as("cos_r6"))
+      .select($"vec_a", $"vec_b", $"ea", $"eb")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, ea, eb) =>
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var i = 0
+        while (i < ea.length) {
+          val x = ea(i).toDouble
+          val y = eb(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        (a, b, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      .toDF("vec_a", "vec_b", "cos")
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_r6"))
       .filter($"cos_r6" >= tau)
       .orderBy($"vec_a", $"vec_b")
   }
