@@ -13,7 +13,7 @@ import graft.model._
   * spark-submit --class graft.index.IndexBuildJob <jar> \
   *   --input <turns table path> [--format parquet|jsonl] \
   *   --output <index root> [--buckets 16] [--target-run 1048576] \
-  *   [--partitions P] [--resume]
+  *   [--partitions P] [--resume] [--compact]
   * }}}
   *
   * Checkpoint = materialization: every stage writes a table; Spark lineage is
@@ -46,7 +46,8 @@ object IndexBuildJob {
       buckets: Int = 16,
       targetRun: Long = 1L << 20,
       partitions: Option[Int] = None,
-      resume: Boolean = false)
+      resume: Boolean = false,
+      compact: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -60,6 +61,7 @@ object IndexBuildJob {
         case "--target-run" => a = a.copy(targetRun = argv(i + 1).toLong); i += 2
         case "--partitions" => a = a.copy(partitions = Some(argv(i + 1).toInt)); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
+        case "--compact" => a = a.copy(compact = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -172,6 +174,20 @@ object IndexBuildJob {
         .write.mode(SaveMode.Overwrite).parquet(paths.dictionary)
       Seq(IndexMeta(a.buckets, a.targetRun, docIdSpace))
         .toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
+    }
+
+    // ---- S5 (optional): segment compaction ----------------------------------
+    // Grid SPIMI leaves one run per (term, grid cell) with a partial tail
+    // block each; compaction merges every term to one run of full blocks
+    // (shorter WAND cursor arrays, tighter bounds). It REWRITES postings in
+    // place, so its recorded input fingerprint never matches on resume and
+    // the stage re-runs — idempotent by construction (recompacting a
+    // compacted index reproduces it).
+    if (a.compact) {
+      val s4Fp = Catalog.fingerprint(paths.postings)
+      stage("compact", s4Fp, paths.postings) {
+        Compaction.compact(spark, a.output)
+      }
     }
 
     val wallMs = (System.nanoTime() - t0) / 1000000

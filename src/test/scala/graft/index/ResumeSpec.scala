@@ -77,6 +77,26 @@ class ResumeSpec extends AnyFunSuite {
     assert(dict == coldDict)
   }
 
+  test("--compact batch build: one run per term, identical query results") {
+    val dir = s"/tmp/graft-resume5-${System.nanoTime()}"
+    writeTurnsFixture(s"$dir/turns")
+    build(s"$dir/turns", s"$dir/plain", resume = false)
+    val s = IndexBuildJob.run(spark, IndexBuildJob.Args(
+      input = s"$dir/turns", output = s"$dir/compacted", buckets = 4,
+      targetRun = 128, partitions = Some(4), compact = true))
+    assert(s.stagesRun.last == "compact")
+
+    val runs = Catalog.readPostings(spark, IndexPaths(s"$dir/compacted"))
+      .collect().map(_.run_id).distinct.toSeq
+    assert(runs == Seq(0), "compaction must collapse every term to one run")
+
+    def hits(root: String, terms: Seq[String]) =
+      SearchEngine.topKWand(spark, root, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (terms <- Seq(Seq(Fixtures.term(0)), Seq(Fixtures.term(3), Fixtures.term(950))))
+      assert(hits(s"$dir/compacted", terms) == hits(s"$dir/plain", terms))
+  }
+
   test("changed input fingerprint cascades a full re-run") {
     val dir = s"/tmp/graft-resume3-${System.nanoTime()}"
     writeTurnsFixture(s"$dir/turns")
