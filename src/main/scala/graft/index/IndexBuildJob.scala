@@ -11,7 +11,7 @@ import graft.model._
   *
   * {{{
   * spark-submit --class graft.index.IndexBuildJob <jar> \
-  *   --input <turns table path> [--format parquet|jsonl] \
+  *   --input <turns table path> [--format parquet|jsonl|transcript] \
   *   --output <index root> [--buckets 16] [--target-run 1048576] \
   *   [--partitions P] [--resume] [--compact]
   * }}}
@@ -130,6 +130,9 @@ object IndexBuildJob {
       val turns = a.format match {
         case "parquet" => Catalog.readTurnsParquet(spark, a.input)
         case "jsonl" => Catalog.readTurnsJsonl(spark, a.input)
+        // raw agent-session logs (tx_survey.jsonl shape): event lines with
+        // nested message content blocks, mapped to the Turn shape
+        case "transcript" => graft.io.TranscriptJsonl.readTurns(spark, a.input)
         case f => throw new IllegalArgumentException(s"unknown format $f")
       }
       val numbered = DocIds.assign(turns, parts)

@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.search.SearchJob <jar> \
   *   --index <index root> --query "join window vector" [--k 10] \
   *   [--mode wand|exhaustive] [--hydrate] [--robust-bounds]
+  *   [--min-match M] [--from N]
   *
   * `--robust-bounds` forces WAND block bounds recomputed against the current
   * avgdl; indexes marked incremental (streaming-grown) use them automatically.
+  * `--min-match M` requires ≥ M distinct query terms per doc (ES
+  * minimum_should_match; M = #terms is match operator=and). `--from N`
+  * returns ranks (N, N+k] (ES from/size pagination).
   * }}}
   */
 object SearchJob {
@@ -21,7 +25,9 @@ object SearchJob {
       k: Int = 10,
       mode: String = "wand",
       hydrate: Boolean = false,
-      robustBounds: Boolean = false)
+      robustBounds: Boolean = false,
+      minMatch: Int = 1,
+      from: Int = 0)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -34,6 +40,8 @@ object SearchJob {
         case "--mode" => a = a.copy(mode = argv(i + 1)); i += 2
         case "--hydrate" => a = a.copy(hydrate = true); i += 1
         case "--robust-bounds" => a = a.copy(robustBounds = true); i += 1
+        case "--min-match" => a = a.copy(minMatch = argv(i + 1).toInt); i += 2
+        case "--from" => a = a.copy(from = argv(i + 1).toInt); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -49,6 +57,10 @@ object SearchJob {
     spark.sparkContext.setLogLevel("WARN")
     val terms = a.query.split("\\s+").toSeq
     val hits = a.mode match {
+      case "wand" if a.minMatch > 1 =>
+        SearchEngine.topKMinShouldMatch(spark, a.index, terms, a.k, a.minMatch)
+      case "wand" if a.from > 0 =>
+        SearchEngine.topKFromSize(spark, a.index, terms, a.from, a.k)
       case "wand" =>
         SearchEngine.topKWand(spark, a.index, terms, a.k, robustBounds = a.robustBounds)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
