@@ -19,11 +19,17 @@ object OracleSql {
 
   /** Full BM25 top-k CTE pipeline over `documents` (k1=1.2, b=0.75, Lucene
     * idf, ties (score DESC, doc_id ASC)); scores rounded to 4 decimals to be
-    * hash-stable across engines.
+    * hash-stable across engines. `boosts` multiplies a term's idf (the
+    * engine's `term^w` weight semantics).
     */
   def bm25TopK(terms: Seq[String], k: Int, minMatch: Int = 1,
-      offset: Int = 0): String = {
+      offset: Int = 0, boosts: Map[String, Double] = Map.empty): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    val wt =
+      if (boosts.isEmpty) ""
+      else boosts.toSeq.sortBy(_._1)
+        .map { case (term, w) => s"WHEN '$term' THEN $w" }
+        .mkString(" * (CASE tf.term ", " ", " ELSE 1.0 END)")
     s"""WITH dls AS (
        |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
        |), stats AS (
@@ -37,7 +43,7 @@ object OracleSql {
        |  SELECT term, count(*) AS df FROM tf GROUP BY term
        |), contrib AS (
        |  SELECT tf.doc_id,
-       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))$wt *
        |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
        |  FROM tf
        |  JOIN dfs USING (term)

@@ -64,6 +64,25 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       SearchEngine.topKFromSize(s, idx.paths.root, Seq("join", "window", "vector"), K, K)
     }),
+    // keyset deep pagination (ES search_after): page 2 fetched via the
+    // (score, doc_id) cursor of page 1's last hit — O(k) per page at any
+    // depth, unlike from/size
+    "bm25_search_after" -> ((s, dir) => {
+      import s.implicits._
+      val idx = IndexCache.documentsIndex(s, dir)
+      val q = Seq("join", "window", "vector")
+      val cursor = SearchEngine.topKWand(s, idx.paths.root, q, K)
+        .as[graft.model.Hit].collect().last
+      SearchEngine.topKSearchAfterRounded(s, idx.paths.root, q, K,
+        cursor.score, cursor.doc_id)
+    }),
+    // per-term boosts (ES `term^w`): weight multiplies the idf, flowing
+    // through WAND bounds rank-safely
+    "bm25_boosted" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKWandRounded(s, idx.paths.root,
+        Seq("join^3.0", "window", "vector^0.5"), K)
+    }),
     // hydration join (§2 row 18): top-k hits joined back to doc metadata —
     // broadcast-hash join, k rows on the build side
     "bm25_topk_hydrated" -> ((s, dir) => {
@@ -217,6 +236,9 @@ object SparkEntry {
     "bm25_match_and" -> OracleSql.bm25TopK(Seq("join", "hash"), K, minMatch = 2),
     "bm25_should_mm" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, minMatch = 2),
     "bm25_from_size" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, offset = K),
+    "bm25_search_after" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, offset = K),
+    "bm25_boosted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      boosts = Map("join" -> 3.0, "vector" -> 0.5)),
     "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
     "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),
     "bool_and" -> OracleSql.boolAnd(Seq("join", "hash")),

@@ -45,15 +45,38 @@ final case class QueryModel(
 }
 
 object QueryModel {
-  /** Analyze a raw query string into unique sorted terms with idfs looked up
+
+  /** ES `term^2.5` boost syntax → (raw term, weight). No suffix (or a
+    * malformed one) means weight 1.0.
+    */
+  def parseBoost(raw: String): (String, Double) = {
+    val i = raw.lastIndexOf('^')
+    if (i > 0 && i < raw.length - 1)
+      try (raw.substring(0, i), raw.substring(i + 1).toDouble)
+      catch { case _: NumberFormatException => (raw, 1.0) }
+    else (raw, 1.0)
+  }
+
+  /** Raw query strings (boost suffixes stripped) → analyzed unique terms. */
+  def analyzedTerms(rawTerms: Seq[String]): Seq[String] =
+    rawTerms.map(parseBoost(_)._1).flatMap(Analyzer.tokenize(_)).distinct.sorted
+
+  /** Analyze raw query strings into unique sorted terms with idfs looked up
     * from `dfByTerm` (absent terms get df=0 → they still contribute idf but
     * match no docs, mirroring the brute-force/DuckDB oracles which simply
-    * find no postings).
+    * find no postings). Per-term boosts (`term^2.5`) multiply the idf —
+    * weights therefore flow through every scorer AND every WAND bound
+    * (bounds are linear in idf, so boosted skipping stays rank-safe). A
+    * term boosted more than once keeps the max weight.
     */
   def build(rawTerms: Seq[String], nDocs: Long, dfByTerm: Map[String, Long],
       avgdl: Double, k: Int): QueryModel = {
-    val uniq = rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted.toArray
-    val idfs = uniq.map(t => Bm25.idf(nDocs, dfByTerm.getOrElse(t, 0L)))
+    val weighted = rawTerms.map(parseBoost).flatMap { case (raw, w) =>
+      Analyzer.tokenize(raw).map(_ -> w)
+    }
+    val wByTerm = weighted.groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).max }
+    val uniq = wByTerm.keys.toArray.sorted
+    val idfs = uniq.map(t => Bm25.idf(nDocs, dfByTerm.getOrElse(t, 0L)) * wByTerm(t))
     QueryModel(uniq, idfs, avgdl, k)
   }
 }

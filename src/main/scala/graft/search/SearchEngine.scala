@@ -29,7 +29,7 @@ object SearchEngine {
   def queryModel(spark: SparkSession, paths: IndexPaths, rawTerms: Seq[String],
       k: Int): QueryModel = {
     import spark.implicits._
-    val terms = rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted
+    val terms = QueryModel.analyzedTerms(rawTerms)
     if (terms.isEmpty) return QueryModel(Array.empty, Array.empty, 0.0, k)
     val stats = Catalog.readCorpusStats(spark, paths)
     val dfByTerm = Catalog.readDictionary(spark, paths)
@@ -37,7 +37,8 @@ object SearchEngine {
       .collect()
       .map(d => d.term -> d.df)
       .toMap
-    QueryModel.build(terms, stats.n_docs, dfByTerm, stats.avgdl, k)
+    // build from the RAW terms: boost suffixes must reach the weight parser
+    QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k)
   }
 
   /** Postings scan restricted to the query terms (bucket pruning + term
@@ -111,14 +112,24 @@ object SearchEngine {
   /** Scored BM25 top-k with `minimum_should_match` (ES bool/should + mmm;
     * minMatch = #terms is the ES `match` operator=and form): only docs
     * containing at least `minMatch` distinct query terms qualify; the score
-    * is the usual sum over present terms. Decode emits one row per
-    * (term, doc) — runs are docID-disjoint — so the per-doc row count IS
-    * the distinct-term count. Exhaustive over the pruned postings scan;
-    * rank-safe WAND-style mm-pruning exists (upper bounds per term subset)
-    * but the pruned scan is already restricted to the query terms' buckets,
-    * which is the dominant saving.
+    * is the usual sum over present terms. Production path is WAND-native
+    * (Wand.scoreShard's mm-raised pivot): head-term posting lists are
+    * skipped, never decoded in full — only compressed blocks cross the one
+    * shard exchange, same as plain `match`.
     */
   def topKMinShouldMatch(spark: SparkSession, root: String,
+      rawTerms: Seq[String], k: Int, minMatch: Int): DataFrame = {
+    import spark.implicits._
+    topKWand(spark, root, rawTerms, k, minMatch = minMatch)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  /** Decode-everything mm scorer — the correctness shadow for the WAND-mm
+    * path (WandSpec asserts bit-identity across query shapes × mm × k).
+    * NOT the production path: it shuffles one row per (doc, term) of every
+    * posting of every query term, exactly what WAND skipping avoids.
+    */
+  def topKMinShouldMatchExhaustive(spark: SparkSession, root: String,
       rawTerms: Seq[String], k: Int, minMatch: Int): DataFrame = {
     import spark.implicits._
     val paths = IndexPaths(root)
@@ -157,18 +168,40 @@ object SearchEngine {
   }
 
   /** ES from/size pagination: rows (from, from+size] of the ranking. The
-    * WAND pass retrieves the top from+size (tiny), then a window over that
-    * ≤ from+size-row result assigns ranks — single-partition by design at
-    * cursor scale, never over the corpus.
+    * WAND pass retrieves the top from+size (inherently O(from+size), like
+    * ES's from/size — capped there at 10k); the page slice is taken on the
+    * driver (≤ from+size Hit rows — already the TakeOrderedAndProject
+    * result set). The scale answer for deep paging is [[topKSearchAfter]].
     */
   def topKFromSize(spark: SparkSession, root: String, rawTerms: Seq[String],
-      from: Int, size: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      from: Int, size: Int, minMatch: Int = 1,
+      robustBounds: Boolean = false): DataFrame = {
     import spark.implicits._
-    topKWand(spark, root, rawTerms, from + size)
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"score".desc, $"doc_id".asc)))
-      .filter($"rn" > from)
+    val page = topKWand(spark, root, rawTerms, from + size,
+        robustBounds = robustBounds, minMatch = minMatch)
+      .as[Hit].collect().drop(from)
+    spark.createDataset(page.toSeq).toDF()
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  /** ES search_after keyset pagination — the scale-safe deep-paging cursor:
+    * the caller passes the last hit of the previous page (its UNROUNDED
+    * score + doc_id; scores are bit-deterministic across runs and
+    * parallelism, so cursors are stable), and only docs strictly after it
+    * under (score DESC, doc_id ASC) are ranked. Each page costs one O(k)
+    * WAND pass regardless of depth — no O(from+size) growth.
+    */
+  def topKSearchAfter(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int, afterScore: Double, afterDoc: Long,
+      minMatch: Int = 1, robustBounds: Boolean = false): DataFrame =
+    topKWand(spark, root, rawTerms, k, robustBounds = robustBounds,
+      minMatch = minMatch, after = Some((afterScore, afterDoc)))
+
+  /** Driver-contract shape for search_after. */
+  def topKSearchAfterRounded(spark: SparkSession, root: String,
+      rawTerms: Seq[String], k: Int, afterScore: Double, afterDoc: Long): DataFrame = {
+    import spark.implicits._
+    topKSearchAfter(spark, root, rawTerms, k, afterScore, afterDoc)
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
@@ -185,12 +218,14 @@ object SearchEngine {
     * parallelism, independent of k and corpus size.
     */
   def topKWand(spark: SparkSession, root: String, rawTerms: Seq[String],
-      k: Int, shardsOpt: Option[Int] = None, robustBounds: Boolean = false): DataFrame = {
+      k: Int, shardsOpt: Option[Int] = None, robustBounds: Boolean = false,
+      minMatch: Int = 1, after: Option[(Double, Long)] = None): DataFrame = {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
     val qm = queryModel(spark, paths, rawTerms, k)
-    if (qm.isEmpty) return emptyHits(spark)
+    if (qm.isEmpty || qm.terms.length < minMatch) return emptyHits(spark)
+    val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, -1L))
     val bcQm = spark.sparkContext.broadcast(qm)
     val shards = shardsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val width = math.max(1L, (meta.doc_id_space + shards - 1) / shards)
@@ -219,7 +254,7 @@ object SearchEngine {
           }
           ti += 1
         }
-        Wand.scoreShard(cursors.toArray, lo, qmv.k).iterator
+        Wand.scoreShard(cursors.toArray, lo, qmv.k, minMatch, afterScore, afterDoc).iterator
       }
       .toDF()
       .orderBy($"score".desc, $"doc_id".asc)

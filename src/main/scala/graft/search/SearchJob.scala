@@ -8,13 +8,18 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.search.SearchJob <jar> \
   *   --index <index root> --query "join window vector" [--k 10] \
   *   [--mode wand|exhaustive] [--hydrate] [--robust-bounds]
-  *   [--min-match M] [--from N]
+  *   [--min-match M] [--from N] [--after SCORE:DOC_ID]
   *
   * `--robust-bounds` forces WAND block bounds recomputed against the current
   * avgdl; indexes marked incremental (streaming-grown) use them automatically.
   * `--min-match M` requires ≥ M distinct query terms per doc (ES
   * minimum_should_match; M = #terms is match operator=and). `--from N`
-  * returns ranks (N, N+k] (ES from/size pagination).
+  * returns ranks (N, N+k] (ES from/size pagination). `--after S:D` is keyset
+  * pagination (ES search_after): the page strictly after cursor (score=S,
+  * doc_id=D) — O(k) at any depth; the cursor is the previous page's last hit.
+  * Query terms accept ES boost syntax (`join^2.5`). All flags compose on the
+  * wand path; exhaustive mode rejects wand-only flags instead of dropping
+  * them silently.
   * }}}
   */
 object SearchJob {
@@ -27,7 +32,8 @@ object SearchJob {
       hydrate: Boolean = false,
       robustBounds: Boolean = false,
       minMatch: Int = 1,
-      from: Int = 0)
+      from: Int = 0,
+      after: Option[(Double, Long)] = None)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -42,10 +48,16 @@ object SearchJob {
         case "--robust-bounds" => a = a.copy(robustBounds = true); i += 1
         case "--min-match" => a = a.copy(minMatch = argv(i + 1).toInt); i += 2
         case "--from" => a = a.copy(from = argv(i + 1).toInt); i += 2
+        case "--after" =>
+          val Array(s, d) = argv(i + 1).split(":", 2)
+          a = a.copy(after = Some((s.toDouble, d.toLong))); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
     require(a.index.nonEmpty && a.query.nonEmpty, "--index and --query are required")
+    require(a.from == 0 || a.after.isEmpty, "--from and --after are mutually exclusive")
+    require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 && !a.robustBounds),
+      "--from/--after/--min-match/--robust-bounds require --mode wand")
     a
   }
 
@@ -57,12 +69,12 @@ object SearchJob {
     spark.sparkContext.setLogLevel("WARN")
     val terms = a.query.split("\\s+").toSeq
     val hits = a.mode match {
-      case "wand" if a.minMatch > 1 =>
-        SearchEngine.topKMinShouldMatch(spark, a.index, terms, a.k, a.minMatch)
       case "wand" if a.from > 0 =>
-        SearchEngine.topKFromSize(spark, a.index, terms, a.from, a.k)
+        SearchEngine.topKFromSize(spark, a.index, terms, a.from, a.k,
+          minMatch = a.minMatch, robustBounds = a.robustBounds)
       case "wand" =>
-        SearchEngine.topKWand(spark, a.index, terms, a.k, robustBounds = a.robustBounds)
+        SearchEngine.topKWand(spark, a.index, terms, a.k,
+          robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }

@@ -149,9 +149,30 @@ object Wand {
 
   /** Score one shard; returns its local top-k (unordered). `cursors` must be
     * in sorted-term order (fixed summation order).
+    *
+    * `minMatch` (ES minimum_should_match; = #terms is `match operator=and`):
+    * only docs matched by ≥ minMatch of this shard's cursors qualify. WAND
+    * stays rank-safe with two extra prunes:
+    *   - pivot index is raised to at least minMatch−1: cursors are sorted by
+    *     curDoc, so any doc d < arr(minMatch−1).curDoc has < minMatch cursors
+    *     with curDoc ≤ d and can never reach minMatch matches — skipping it
+    *     is exact, independent of θ;
+    *   - a shard whose live-cursor count drops below minMatch is done.
+    * The θ-based block-max skip is unchanged (mm only shrinks the candidate
+    * set, never grows it).
+    *
+    * `after` (ES search_after keyset pagination): only docs STRICTLY after
+    * the cursor under (score DESC, doc_id ASC) — score < afterScore, or
+    * score == afterScore and doc_id > afterDoc — may enter the heap. This is
+    * an exact filter applied at evaluation (an upper-bound test cannot
+    * exclude docs ABOVE a score), so every skip decision stays θ-driven and
+    * rank-safe; pages are O(k) regardless of depth, unlike from/size.
     */
-  def scoreShard(cursors: Array[TermCursor], lo: Long, k: Int): Seq[Hit] = {
-    if (k <= 0 || cursors.isEmpty) return Nil
+  def scoreShard(cursors: Array[TermCursor], lo: Long, k: Int,
+      minMatch: Int = 1,
+      afterScore: Double = Double.PositiveInfinity,
+      afterDoc: Long = -1L): Seq[Hit] = {
+    if (k <= 0 || cursors.isEmpty || cursors.length < minMatch) return Nil
     val heap = new KHeap(k)
     var i = 0
     while (i < cursors.length) { cursors(i).seek(lo); i += 1 }
@@ -179,7 +200,7 @@ object Wand {
         n = w
       }
       repairOrder(arr, n)
-      if (n == 0) done = true
+      if (n < minMatch) done = true // too few live terms to ever reach mm
       else {
         val theta = heap.theta
         // pivot: first p with cumulative term UB >= theta
@@ -193,6 +214,9 @@ object Wand {
         }
         if (p < 0) done = true // total UB < theta: nothing left can qualify
         else {
+          // mm-raise: no doc below arr(minMatch-1).curDoc can have >= mm
+          // matches (sorted-by-curDoc argument above) — exact, not UB-based
+          if (p < minMatch - 1) p = minMatch - 1
           val pivot = arr(p).curDoc
           // extend pivot over cursors sharing the same curDoc
           while (p + 1 < n && arr(p + 1).curDoc == pivot) p += 1
@@ -220,14 +244,19 @@ object Wand {
             var r = 0
             while (r < p) { if (arr(r).curDoc != pivot) allAtPivot = false; r += 1 }
             if (allAtPivot) {
-              // exact evaluation in original (sorted-term) cursor order
+              // exact evaluation in original (sorted-term) cursor order;
+              // the per-doc cursor-at-pivot count IS the distinct matched-
+              // term count (runs are docID-disjoint, one cursor per term)
               var sc = 0.0
+              var matched = 0
               var t = 0
               while (t < cursors.length) {
-                if (cursors(t).curDoc == pivot) sc += cursors(t).score()
+                if (cursors(t).curDoc == pivot) { sc += cursors(t).score(); matched += 1 }
                 t += 1
               }
-              heap.offer(pivot, sc)
+              if (matched >= minMatch &&
+                  (sc < afterScore || (sc == afterScore && pivot > afterDoc)))
+                heap.offer(pivot, sc)
               t = 0
               while (t < cursors.length) {
                 if (cursors(t).curDoc == pivot) cursors(t).next()

@@ -32,6 +32,72 @@ class WandSpec extends AnyFunSuite {
     assert(mAll == andSet, "m = #terms must rank exactly the conjunction's doc set")
   }
 
+  test("WAND-mm bit-identical to exhaustive-mm across query shapes × mm × k") {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    val queries = Seq(
+      Seq("join", "hash"), Seq("join", "window", "vector"),
+      Seq("the", "a", "join"), Seq("join", "zebra"), Seq("zebra", "quagga"),
+      Seq("scan", "filter", "sort", "merge", "group"))
+    for (q <- queries; mm <- 1 to (q.size + 1); k <- Seq(1, 10, 100)) {
+      val w = hits(SearchEngine.topKMinShouldMatch(spark, idx.paths.root, q, k, mm))
+      val e = hits(SearchEngine.topKMinShouldMatchExhaustive(spark, idx.paths.root, q, k, mm))
+      assert(w == e, s"WAND-mm != exhaustive-mm for q=$q mm=$mm k=$k")
+    }
+  }
+
+  test("WAND-mm on skewed transcripts equals exhaustive-mm (head-term conjunctions)") {
+    import spark.implicits._
+    val turns = Fixtures.sfTest.toDS()
+    val root = s"/tmp/graft-test-wandmm-${System.nanoTime()}"
+    val res = Indexer.buildFromTurns(turns, root, buckets = 8, targetRun = 512)
+    assert(res.stats.n_docs == 5000)
+    for (q <- Fixtures.refQueries.filter(_.size >= 2); mm <- 2 to 3) {
+      val w = hits(SearchEngine.topKMinShouldMatch(spark, root, q, 10, mm))
+      val e = hits(SearchEngine.topKMinShouldMatchExhaustive(spark, root, q, 10, mm))
+      assert(w == e, s"WAND-mm != exhaustive-mm for q=$q mm=$mm")
+    }
+  }
+
+  test("search_after pages reproduce the contiguous deep ranking") {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    for (q <- Seq(Seq("join", "window", "vector"), Seq("the", "a"), Seq("join"))) {
+      val full = hits(SearchEngine.topKWand(spark, idx.paths.root, q, 30))
+      // walk 3 pages of 10 by cursor; must re-assemble the full ranking
+      var cursor: Option[(Double, Long)] = None
+      val paged = (0 until 3).flatMap { _ =>
+        val page = cursor match {
+          case None => hits(SearchEngine.topKWand(spark, idx.paths.root, q, 10))
+          case Some((s, d)) =>
+            hits(SearchEngine.topKSearchAfter(spark, idx.paths.root, q, 10, s, d))
+        }
+        page.lastOption.foreach { case (d, s) => cursor = Some((s, d)) }
+        page
+      }
+      assert(paged == full, s"search_after pages != contiguous ranking for q=$q")
+    }
+  }
+
+  test("per-term boosts: rank-safe through WAND, identical to exhaustive; ^1 is a no-op") {
+    val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
+    val boosted = Seq(Seq("join^3.0", "window", "vector^0.5"),
+      Seq("the^0.1", "a", "join^10"), Seq("join^2", "hash^2"))
+    for (q <- boosted; k <- Seq(1, 10, 50)) {
+      val w = hits(SearchEngine.topKWand(spark, idx.paths.root, q, k))
+      val e = hits(SearchEngine.topKExhaustive(spark, idx.paths.root, q, k))
+      assert(w == e, s"boosted WAND != exhaustive for q=$q k=$k")
+    }
+    val plain = hits(SearchEngine.topKWand(spark, idx.paths.root, Seq("join", "window"), 10))
+    val unit = hits(SearchEngine.topKWand(spark, idx.paths.root, Seq("join^1.0", "window^1"), 10))
+    assert(unit == plain, "^1 boosts must not change anything")
+    // absolute semantics (catches a silently-dropped boost, which the
+    // shadow comparison alone cannot — both sides share QueryModel):
+    // ^2 on a single-term query must EXACTLY double every score (×2 is
+    // exact in binary floating point)
+    val p1 = hits(SearchEngine.topKWand(spark, idx.paths.root, Seq("join"), 10))
+    val p2 = hits(SearchEngine.topKWand(spark, idx.paths.root, Seq("join^2"), 10))
+    assert(p2 == p1.map { case (d, s) => (d, s * 2) }, "^2 must double single-term scores")
+  }
+
   test("WAND bit-identical to exhaustive on documents corpus") {
     val idx = IndexCache.documentsIndex(spark, "/root/testdata/sf0.001")
     val vocab = ("a agg batch big column customer data dup fast filter group hash join key " +
