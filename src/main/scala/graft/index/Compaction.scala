@@ -29,7 +29,21 @@ import graft.model.DictEntry
   */
 object Compaction {
 
-  /** Rewrite postings + dictionary in place (write-new + atomic swap). */
+  /** Rewrite postings + dictionary in place (stage-new + atomic pointer
+    * swap, [[Fs.publishVersion]] — readers concurrent with the swap resolve
+    * a complete old or new artifact, never a missing dir).
+    *
+    * Publish ORDER is a rank-safety invariant: postings → dictionary →
+    * meta, while every query reads meta FIRST and postings LAST. The meta
+    * written here clears `incremental` (exact stored bounds are trusted
+    * again), which is only safe against the COMPACTED postings — and a
+    * reader can only observe the new meta after the new postings are
+    * already live, by the order of both sides. The old meta
+    * (incremental=true → robust bounds) is safe against either postings
+    * generation. Mixed old-dictionary/new-postings reads are benign:
+    * compaction preserves df/cf exactly and queries take bounds from
+    * postings blocks, not the dictionary.
+    */
   def compact(spark: SparkSession, root: String): Unit = {
     import spark.implicits._
     val paths = IndexPaths(root)
@@ -37,7 +51,7 @@ object Compaction {
     val avgdl = Catalog.readCorpusStats(spark, paths).avgdl
     val meta = Indexer.readMeta(spark, root)
 
-    val postingsNew = s"${paths.postings}_compacting"
+    val postingsNew = s"${paths.postingsBase}_staging"
     Catalog.readPostings(spark, paths)
       .repartition($"bucket")
       .sortWithinPartitions($"bucket", $"term", $"first_doc")
@@ -45,25 +59,25 @@ object Compaction {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(postingsNew)
-    Fs.replace(postingsNew, paths.postings)
+    Fs.publishVersion(paths.postingsBase, postingsNew)
 
     // dictionary from the fresh block headers (df/cf exact: one run per term
     // now, each doc once per term; max_tf_norm freshly recomputed)
-    val dictNew = s"${paths.dictionary}_compacting"
+    val dictNew = s"${paths.dictionaryBase}_staging"
     spark.read.parquet(paths.postings)
       .groupBy($"term")
       .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
         max($"max_tf_norm").as("max_tf_norm"))
       .select($"term", $"df", $"cf", $"max_tf_norm").as[DictEntry]
       .write.mode(SaveMode.Overwrite).parquet(dictNew)
-    Fs.replace(dictNew, paths.dictionary)
+    Fs.publishVersion(paths.dictionaryBase, dictNew)
 
     // bounds are fresh against the current avgdl again: exact block-max
     // skipping is safe until the next append flips `incremental` back on
-    val metaNew = s"$root/meta_compacting"
+    val metaNew = s"${paths.metaBase}_staging"
     Seq(meta.copy(incremental = false)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(metaNew)
-    Fs.replace(metaNew, s"$root/meta")
+    Fs.publishVersion(paths.metaBase, metaNew)
   }
 
   /** Streaming per-partition merge: input blocks sorted by (bucket, term,

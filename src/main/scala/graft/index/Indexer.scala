@@ -14,9 +14,14 @@ import graft.model._
   * query-time WAND auto-switches to robust bounds (recomputed from
   * max_tf/min_dl against the current avgdl) — rank-safety does not depend
   * on the caller remembering a flag.
+  * `last_batch_id` is the streaming-ingest idempotency cursor: the highest
+  * micro-batch id already folded into this index. It rides the SAME atomic
+  * meta swap as the segment commit, so a replayed micro-batch (driver died
+  * between the meta swap and the streaming checkpoint commit) is detected
+  * and skipped instead of appended twice. −1 = batch-built index.
   */
 final case class IndexMeta(buckets: Int, target_run: Long, doc_id_space: Long,
-    incremental: Boolean = false)
+    incremental: Boolean = false, last_batch_id: Long = -1L)
 
 /** Index construction orchestration (SURVEY.md §3.1, stages S2–S4 over an
   * already doc-keyed corpus; DocIds.assign is stage S1 for transcript input).
@@ -75,7 +80,7 @@ object Indexer {
 
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
     val meta = IndexMeta(buckets, targetRun, docIdSpace)
-    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(s"$root/meta")
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
     BuildResult(paths, stats, meta)
   }
 
@@ -102,6 +107,12 @@ object Indexer {
 
   def readMeta(spark: SparkSession, root: String): IndexMeta = {
     import spark.implicits._
-    spark.read.parquet(s"$root/meta").as[IndexMeta].head()
+    val df = spark.read.parquet(IndexPaths(root).meta)
+    // pre-r3 meta parquet has no last_batch_id column — default it
+    val full =
+      if (df.columns.contains("last_batch_id")) df
+      else df.withColumn("last_batch_id", lit(-1L))
+    full.select($"buckets", $"target_run", $"doc_id_space", $"incremental",
+      $"last_batch_id").as[IndexMeta].head()
   }
 }

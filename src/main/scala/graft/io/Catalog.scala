@@ -18,11 +18,24 @@ import graft.model._
   */
 object Catalog {
 
-  /** Index segment layout under one root. */
+  /** Index segment layout under one root.
+    *
+    * The four artifacts that compaction / streaming refresh swap in place
+    * (postings, dictionary, corpus_stats, meta) resolve through the version
+    * pointer ([[Fs.resolveVersioned]]) so swaps are atomic for concurrent
+    * readers; the `*Base` forms are the pointer anchors the publish side
+    * uses ([[Fs.publishVersion]]). Resolution is a driver-side tiny-file
+    * read per query — never on the executor path.
+    */
   final case class IndexPaths(root: String) {
-    def postings: String = s"$root/postings"
-    def dictionary: String = s"$root/dictionary"
-    def corpusStats: String = s"$root/corpus_stats"
+    def postingsBase: String = s"$root/postings"
+    def postings: String = Fs.resolveVersioned(postingsBase)
+    def dictionaryBase: String = s"$root/dictionary"
+    def dictionary: String = Fs.resolveVersioned(dictionaryBase)
+    def corpusStatsBase: String = s"$root/corpus_stats"
+    def corpusStats: String = Fs.resolveVersioned(corpusStatsBase)
+    def metaBase: String = s"$root/meta"
+    def meta: String = Fs.resolveVersioned(metaBase)
     def docidMap: String = s"$root/docid_map"
     def manifests: String = s"$root/manifests"
     def metrics: String = s"$root/metrics"
@@ -30,7 +43,6 @@ object Catalog {
     def docLengths: String = s"$root/doc_lengths"
     def termStats: String = s"$root/term_stats"
     def corpusSorted: String = s"$root/corpus_sorted" // S1 output (numbered turns)
-    def meta: String = s"$root/meta"
   }
 
   // ---- corpus sources ------------------------------------------------------

@@ -36,12 +36,58 @@ object Fs {
     fs.delete(p, true): Unit
   }
 
-  /** Atomic-ish replace: delete `path`, rename `newPath` onto it. */
-  def replace(newPath: String, path: String): Unit = {
-    val (fs, dst) = fsOf(path)
-    fs.delete(dst, true)
-    if (!fs.rename(new Path(newPath), dst))
-      throw new java.io.IOException(s"rename $newPath -> $path failed")
+  // ---- versioned-artifact pointer protocol ---------------------------------
+  // The Iceberg-snapshot shape for swappable index artifacts (VERDICT r2
+  // item 3; replaces the old delete-then-rename `replace`, whose window
+  // left a live index with a missing postings/dictionary dir). A live
+  // artifact `base` is either the plain dir (never swapped) or
+  // `${base}_v<N>`, named by the tiny pointer file `${base}.ptr`. A swap
+  // stages the new version, renames it in, and atomically rewrites the
+  // pointer (FileContext rename with OVERWRITE — atomic on POSIX rename
+  // and on HDFS). A concurrent reader therefore always resolves to a
+  // COMPLETE artifact: old or new, never missing or half-swapped. The
+  // previous generation is retained for in-flight readers that resolved
+  // before the swap; generations older than one are deleted. Crash-safe:
+  // a crash before the pointer rewrite leaves the old version live and a
+  // dangling _v<N> dir that the next publish overwrites.
+
+  /** Resolve an artifact base path through its version pointer (the plain
+    * path when no pointer exists — the never-swapped fast path).
+    */
+  def resolveVersioned(base: String): String = {
+    val (fs, _) = fsOf(base)
+    val ptr = new Path(s"$base.ptr")
+    if (!fs.exists(ptr)) base
+    else {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      base + v
+    }
+  }
+
+  /** Publish `stagingDir` as the next version of `base` and atomically
+    * flip the pointer. Single-writer (compaction / streaming refresh are
+    * serialized by their callers); readers need no coordination.
+    */
+  def publishVersion(base: String, stagingDir: String): Unit = {
+    val (fs, basePath) = fsOf(base)
+    val cur = resolveVersioned(base)
+    val n = if (cur == base) 1 else cur.substring(base.length + 2).toInt + 1
+    val dst = new Path(s"${base}_v$n")
+    fs.delete(dst, true) // dangling dir from a crashed publish
+    if (!fs.rename(new Path(stagingDir), dst))
+      throw new java.io.IOException(s"rename $stagingDir -> $dst failed")
+    val tmp = new Path(s"$base.ptr.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"_v$n".getBytes("UTF-8")) finally out.close()
+    val qtmp = fs.makeQualified(tmp)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qtmp.toUri, conf())
+    fc.rename(qtmp, fs.makeQualified(new Path(s"$base.ptr")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retain exactly one previous generation for in-flight readers
+    if (n == 2) fs.delete(basePath, true): Unit
+    if (n > 2) fs.delete(new Path(s"${base}_v${n - 2}"), true): Unit
   }
 
   /** Recursive data-file listing: (path, length, mtime) for every file not

@@ -30,19 +30,32 @@ object StreamingIngest {
 
   /** Ingest one micro-batch: assign continued docIDs, build a delta segment,
     * refresh stats/dictionary/meta. Returns the new corpus stats.
+    *
+    * `batchId` ≥ 0 makes the append idempotent under streaming replay: the
+    * id is committed inside the SAME atomic meta swap as the segment, so a
+    * micro-batch replayed after a driver failure between the meta swap and
+    * the streaming checkpoint commit is detected (meta.last_batch_id ≥
+    * batchId) and skipped instead of double-appended under fresh docIDs.
+    * (A crash BEFORE the meta swap replays a partially-appended segment's
+    * postings files — Overwrite-staged swaps cover dictionary/stats/meta,
+    * and the postings append itself is the remaining non-transactional
+    * window, disclosed; an Iceberg sink closes it with a real snapshot
+    * commit.)
     */
   def ingestBatch(batch: Dataset[Turn], root: String, buckets: Int,
-      targetRun: Long): CorpusStats = {
+      targetRun: Long, batchId: Long = -1L): CorpusStats = {
     val spark = batch.sparkSession
     import spark.implicits._
     val paths = IndexPaths(root)
-    val exists = graft.io.Fs.exists(s"$root/meta")
-    val (off, n0, tot0) =
+    val exists = graft.io.Fs.exists(paths.meta)
+    val (off, n0, tot0, last0) =
       if (exists) {
         val m = Indexer.readMeta(spark, root)
+        if (batchId >= 0 && m.last_batch_id >= batchId)
+          return Catalog.readCorpusStats(spark, paths) // replayed batch: no-op
         val s = Catalog.readCorpusStats(spark, paths)
-        (m.doc_id_space, s.n_docs, s.total_tokens)
-      } else (0L, 0L, 0L)
+        (m.doc_id_space, s.n_docs, s.total_tokens, m.last_batch_id)
+      } else (0L, 0L, 0L, -1L)
 
     val parts = spark.sessionState.conf.numShufflePartitions
     val numbered = DocIds.assign(batch, parts)
@@ -81,24 +94,21 @@ object StreamingIngest {
       .groupBy($"term").agg(max($"max_tf_norm").as("max_tf_norm"))
     mergedStats.join(blockAgg, Seq("term"))
       .select($"term", $"df", $"cf", $"max_tf_norm").as[DictEntry]
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/dictionary_new")
-    swap(spark, s"$root/dictionary_new", paths.dictionary)
+      .write.mode(SaveMode.Overwrite).parquet(s"${paths.dictionaryBase}_staging")
+    graft.io.Fs.publishVersion(paths.dictionaryBase, s"${paths.dictionaryBase}_staging")
 
     val stats = CorpusStats(nNew, totNew, avgdlNew)
-    Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(s"$root/corpus_stats_new")
-    swap(spark, s"$root/corpus_stats_new", paths.corpusStats)
-    Seq(IndexMeta(buckets, targetRun, off + batchStats.n_docs, incremental = true))
-      .toDS().write.mode(SaveMode.Overwrite).parquet(s"$root/meta_new")
-    swap(spark, s"$root/meta_new", s"$root/meta")
+    Seq(stats).toDS().write.mode(SaveMode.Overwrite)
+      .parquet(s"${paths.corpusStatsBase}_staging")
+    graft.io.Fs.publishVersion(paths.corpusStatsBase, s"${paths.corpusStatsBase}_staging")
+    // meta LAST (readers read it first — same ordering invariant as
+    // Compaction.compact) and carrying the batch idempotency cursor
+    Seq(IndexMeta(buckets, targetRun, off + batchStats.n_docs,
+        incremental = true, last_batch_id = math.max(batchId, last0)))
+      .toDS().write.mode(SaveMode.Overwrite).parquet(s"${paths.metaBase}_staging")
+    graft.io.Fs.publishVersion(paths.metaBase, s"${paths.metaBase}_staging")
     stats
   }
-
-  /** Atomic-ish replace (write-new + rename) so readers never see a
-    * half-written stats table between micro-batches. Hadoop FS rename —
-    * works on any cluster filesystem, not just local.
-    */
-  private def swap(spark: SparkSession, newPath: String, path: String): Unit =
-    graft.io.Fs.replace(newPath, path)
 
   /** Structured Streaming entry: watch a directory of turn parquet files and
     * index each micro-batch incrementally. `compactEvery` > 0 runs segment
@@ -117,8 +127,8 @@ object StreamingIngest {
       .as[Turn]
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Turn], _: Long) =>
-        ingestBatch(batch, root, buckets, targetRun)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        ingestBatch(batch, root, buckets, targetRun, batchId)
         batches += 1
         if (compactEvery > 0 && batches % compactEvery == 0)
           Compaction.compact(spark, root)

@@ -115,6 +115,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(postingsFiles() <= filesBefore, "compaction must not grow the file count")
   }
 
+  test("queries running concurrently with compaction swaps never fail or mix indexes") {
+    import spark.implicits._
+    val base = s"/tmp/graft-swap-${System.nanoTime()}"
+    val root = s"$base/idx"
+    val turns = Fixtures.turns(20, 25).toDS()
+    graft.index.Indexer.buildFromTurns(turns, root, buckets = 4, targetRun = 256)
+
+    val q = Seq(Fixtures.term(0), Fixtures.term(3))
+    val ref = hits(SearchEngine.topKWand(spark, root, q, 10))
+    assert(ref.nonEmpty)
+
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() =>
+      try {
+        while (!stop) {
+          val got = hits(SearchEngine.topKWand(spark, root, q, 10))
+          if (got != ref) errs.add(s"mixed/stale result: $got")
+        }
+      } catch { case e: Throwable => errs.add(s"query failed mid-swap: $e") })
+    reader.start()
+    try
+      // each compact publishes postings/dictionary/meta versions; with one
+      // retained generation the reader must always resolve a complete index
+      (1 to 3).foreach(_ => graft.index.Compaction.compact(spark, root))
+    finally { stop = true; reader.join() }
+    assert(errs.isEmpty, s"concurrent reader saw: ${errs.toArray.mkString("; ")}")
+    // pointer protocol bookkeeping: one previous generation retained, older gone
+    val paths = IndexPaths(root)
+    assert(paths.postings.endsWith("_v3"))
+    assert(graft.io.Fs.exists(s"${paths.postingsBase}_v2"))
+    assert(!graft.io.Fs.exists(s"${paths.postingsBase}_v1"))
+    assert(!graft.io.Fs.exists(paths.postingsBase))
+  }
+
+  test("replayed micro-batch ids are idempotent (no duplicate documents)") {
+    import spark.implicits._
+    val base = s"/tmp/graft-replay-${System.nanoTime()}"
+    val root = s"$base/idx"
+    val all = Fixtures.turns(10, 10)
+    val b0 = all.filter(_.conv_id < "c000005").toDS()
+    val b1 = all.filter(_.conv_id >= "c000005").toDS()
+
+    StreamingIngest.ingestBatch(b0, root, buckets = 4, targetRun = 256, batchId = 0L)
+    val afterB1 = StreamingIngest.ingestBatch(b1, root, buckets = 4, targetRun = 256, batchId = 1L)
+    assert(afterB1.n_docs == all.size.toLong)
+    // driver died between meta swap and checkpoint commit → batch 1 replays
+    val replayed = StreamingIngest.ingestBatch(b1, root, buckets = 4, targetRun = 256, batchId = 1L)
+    assert(replayed == afterB1, "replay must be a no-op")
+    val stats = Catalog.readCorpusStats(spark, IndexPaths(root))
+    assert(stats.n_docs == all.size.toLong, "replayed batch must not duplicate docs")
+    assert(graft.index.Indexer.readMeta(spark, root).last_batch_id == 1L)
+    // results identical to a brute-force scan of the (non-duplicated) corpus
+    val corpus = Catalog.readNumbered(spark, IndexPaths(root)).toDF()
+      .select($"doc_id", $"text")
+    val terms = Seq(Fixtures.term(0))
+    val w = hits(SearchEngine.topKWand(spark, root, terms, 10, robustBounds = true))
+    val b = hits(BruteForce.topK(corpus, terms, 10))
+    assert(w.map(_._1) == b.map(_._1))
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     val base = s"/tmp/graft-stream-agg-${System.nanoTime()}"
