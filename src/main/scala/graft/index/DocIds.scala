@@ -1,9 +1,9 @@
 package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, size, sum}
 
-import graft.model.{DocIdEntry, NumberedTurn, Turn}
+import graft.model.{CorpusStats, DocIdEntry, NumberedTurn, Turn}
 
 /** Dense stable docID assignment (SURVEY.md §2 row 4).
   *
@@ -122,7 +122,25 @@ object DocIds {
     * persisted state. Output rows are key-sorted within partitions (add an
     * `orderBy` downstream if global presentation order matters).
     */
-  def denseIds(df: DataFrame, sortCols: Seq[String], numPartitions: Int): DataFrame = {
+  def denseIds(df: DataFrame, sortCols: Seq[String], numPartitions: Int): DataFrame =
+    denseIdsCore(df, sortCols, numPartitions, None)._1
+
+  /** [[denseIds]] + whole-corpus token stats computed IN the same passes —
+    * no extra corpus scan: the exact per-part histogram pass additionally
+    * sums per-part analyzed token counts over `textCol` (the assignment
+    * already touches every row, so avgdl rides along for free; VERDICT r2
+    * item 4 — the build's separate stats pass folded away). Deterministic
+    * by construction (a plain aggregation, not accumulators, so task
+    * retries cannot double-count).
+    */
+  def denseIdsWithStats(df: DataFrame, sortCols: Seq[String],
+      numPartitions: Int, textCol: String): (DataFrame, CorpusStats) = {
+    val (out, stats) = denseIdsCore(df, sortCols, numPartitions, Some(textCol))
+    (out, stats.get)
+  }
+
+  private def denseIdsCore(df: DataFrame, sortCols: Seq[String],
+      numPartitions: Int, textCol: Option[String]): (DataFrame, Option[CorpusStats]) = {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
@@ -131,11 +149,21 @@ object DocIds {
     val bounds = sampleBoundaries(df, sortCols, numPartitions, totalRows)
     val part = partCol(sortCols, bounds)
 
-    // exact per-part histogram (key-pruned codegen'd scan) → prefix offsets
+    // exact per-part histogram (key-pruned codegen'd scan) → prefix offsets;
+    // with textCol the same scan also sums analyzed token counts per part
     val numParts = bounds.length + 1
-    val counts = df.select(part.as("__part")).groupBy(col("__part"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val histCols = part.as("__part") +: textCol.map(tc =>
+      size(graft.core.Analyzer.tokensCol(col(tc))).cast("long").as("__dl")).toSeq
+    val aggs = count(lit(1)).as("n") +:
+      textCol.map(_ => sum(col("__dl")).as("toks")).toSeq
+    val histRows = df.select(histCols: _*).groupBy(col("__part"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val counts = histRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val stats = textCol.map { _ =>
+      val tot = histRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+      CorpusStats(totalRows, tot, if (totalRows == 0) 0.0 else tot.toDouble / totalRows)
+    }
     val offsets = new Array[Long](numParts)
     var acc = 0L
     var i = 0
@@ -147,7 +175,7 @@ object DocIds {
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
     val outSchema = StructType(StructField("rid", LongType, nullable = false) +: df.schema.fields)
-    df.withColumn("__part", part)
+    val out = df.withColumn("__part", part)
       .repartition(numParts, col("__part"))
       .sortWithinPartitions(col("__part") +: sortCols.map(col): _*)
       .mapPartitions { it =>
@@ -163,6 +191,7 @@ object DocIds {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .select(col("rid") +: df.columns.map(col): _*)
+    (out, stats)
   }
 
   def assign(turns: Dataset[Turn], numPartitions: Int): Dataset[NumberedTurn] = {
@@ -171,6 +200,16 @@ object DocIds {
     denseIds(turns.toDF(), Seq("conv_id", "turn_idx"), numPartitions)
       .withColumnRenamed("rid", "doc_id")
       .as[NumberedTurn]
+  }
+
+  /** [[assign]] + corpus stats from the same passes (avgdl for free). */
+  def assignWithStats(turns: Dataset[Turn],
+      numPartitions: Int): (Dataset[NumberedTurn], CorpusStats) = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val (df, stats) =
+      denseIdsWithStats(turns.toDF(), Seq("conv_id", "turn_idx"), numPartitions, "text")
+    (df.withColumnRenamed("rid", "doc_id").as[NumberedTurn], stats)
   }
 
   def toDocidMap(numbered: Dataset[NumberedTurn]): Dataset[DocIdEntry] = {

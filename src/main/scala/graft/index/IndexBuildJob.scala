@@ -26,15 +26,17 @@ import graft.model._
   * Stages and their exchanges (2 corpus-sized shuffles total — the scaling
   * story; raw TF rows never cross an exchange):
   *   S1 docid_assign  range-exchange on (conv_id, turn_idx) → corpus_sorted,
-  *                    docid_map
-  *   S2 stats         narrow tokenize pass → corpus_stats (avgdl before
-  *                    encoding — block-max bounds need it)
-  *   S3 spimi         doc-range grid exchange of the corpus (uniform key ⇒
+  *                    docid_map, corpus_stats. Corpus stats (avgdl must
+  *                    precede encoding — block-max bounds need it) ride the
+  *                    assignment's own histogram pass (DocIds
+  *                    .assignWithStats), so the former separate stats stage
+  *                    — a whole extra read of the written corpus — is gone.
+  *   S2 spimi         doc-range grid exchange of the corpus (uniform key ⇒
   *                    skew-free), per-cell in-memory SPIMI inversion,
   *                    compressed runs → postings (bucketed). This is the
   *                    docID-range salting of the north star applied at the
   *                    corpus exchange instead of per-TF-row.
-  *   S4 finalize      the term-keyed merge: metadata-only groupBy over block
+  *   S3 finalize      the term-keyed merge: metadata-only groupBy over block
   *                    headers (payloads pruned) → dictionary, meta
   */
 object IndexBuildJob {
@@ -135,27 +137,22 @@ object IndexBuildJob {
         case "transcript" => graft.io.TranscriptJsonl.readTurns(spark, a.input)
         case f => throw new IllegalArgumentException(s"unknown format $f")
       }
-      val numbered = DocIds.assign(turns, parts)
+      val (numbered, stats) = DocIds.assignWithStats(turns, parts)
       numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
       // docid_map from the just-written corpus: a column-pruned parquet scan
       // (3 narrow columns) instead of re-running the assignment pipeline
       Catalog.writeDocidMap(DocIds.toDocidMap(Catalog.readNumbered(spark, paths)), paths)
-    }
-
-    // ---- S2: corpus stats (avgdl must precede encoding) --------------------
-    val s1Fp = Catalog.fingerprint(paths.corpusSorted)
-    stage("stats", s1Fp, paths.corpusStats) {
-      val docs = Catalog.readNumbered(spark, paths).map(t => Doc(t.doc_id, t.text))
-      val stats = TermFreqs.corpusStats(TermFreqs.docLengths(docs))
+      // corpus stats came from the assignment's own passes — no extra read
       Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
     }
 
     // docIDs are dense 0..N−1 by construction (DocIds.assign)
     lazy val docIdSpace = Catalog.readCorpusStats(spark, paths).n_docs
 
-    // ---- S3: grid SPIMI + bucketed sink ------------------------------------
+    // ---- S2: grid SPIMI + bucketed sink ------------------------------------
     // One doc-range corpus exchange; in-memory inversion per grid cell;
     // compressed runs out. Skew-free by construction (Spimi.buildBlocksGrid).
+    val s1Fp = Catalog.fingerprint(paths.corpusSorted)
     val s2Fp = s1Fp + "+" + Catalog.fingerprint(paths.corpusStats)
     stage("spimi", s2Fp, paths.postings) {
       val docs = Catalog.readNumbered(spark, paths).map(t => Doc(t.doc_id, t.text))
@@ -166,7 +163,7 @@ object IndexBuildJob {
         Spimi.buildBlocksGrid(docs, stats.avgdl, a.buckets, grids, docIdSpace, parts), paths)
     }
 
-    // ---- S4: dictionary + meta — the term-keyed merge, metadata-only -------
+    // ---- S3: dictionary + meta — the term-keyed merge, metadata-only -------
     val s3Fp = Catalog.fingerprint(paths.postings)
     stage("finalize", s3Fp, paths.dictionary) {
       spark.read.parquet(paths.postings)
@@ -179,7 +176,7 @@ object IndexBuildJob {
         .toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
     }
 
-    // ---- S5 (optional): segment compaction ----------------------------------
+    // ---- S4 (optional): segment compaction ----------------------------------
     // Grid SPIMI leaves one run per (term, grid cell) with a partial tail
     // block each; compaction merges every term to one run of full blocks
     // (shorter WAND cursor arrays, tighter bounds). It REWRITES postings in

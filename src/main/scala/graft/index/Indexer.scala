@@ -43,21 +43,30 @@ object Indexer {
       root: String,
       buckets: Int = 16,
       targetRun: Long = 1 << 20,
-      numPartitionsOpt: Option[Int] = None): BuildResult = {
+      numPartitionsOpt: Option[Int] = None,
+      statsOpt: Option[CorpusStats] = None): BuildResult = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val paths = IndexPaths(root)
 
     // S2: doc lengths + corpus stats (includes empty docs in N / avgdl);
-    // avgdl must precede encoding (block-max bounds need it)
-    val dls = TermFreqs.docLengths(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = TermFreqs.corpusStats(dls)
-    val docIdSpace = {
-      val r = dls.toDF("doc_id", "dl").agg(max($"doc_id")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    // avgdl must precede encoding (block-max bounds need it). Callers that
+    // already computed stats during docID assignment (buildFromTurns —
+    // dense 0..N−1 ids, so doc_id_space == n_docs) pass them in and this
+    // whole corpus pass is skipped.
+    val (stats, docIdSpace) = statsOpt match {
+      case Some(st) => (st, st.n_docs)
+      case None =>
+        val dls = TermFreqs.docLengths(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        val st = TermFreqs.corpusStats(dls)
+        val ds = {
+          val r = dls.toDF("doc_id", "dl").agg(max($"doc_id")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+        }
+        dls.unpersist(blocking = false)
+        (st, ds)
     }
-    dls.unpersist(blocking = false)
 
     // S3: grid SPIMI — one doc-range exchange of the corpus, in-memory
     // inversion per grid cell, compressed runs out (Spimi.buildBlocksGrid).
@@ -96,11 +105,12 @@ object Indexer {
     val spark = turns.sparkSession
     import spark.implicits._
     val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val numbered = DocIds.assign(turns, numPartitions).persist(StorageLevel.MEMORY_AND_DISK)
+    val (assigned, stats) = DocIds.assignWithStats(turns, numPartitions)
+    val numbered = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     val paths = IndexPaths(root)
     Catalog.writeDocidMap(DocIds.toDocidMap(numbered), paths)
     val res = buildFromDocs(numbered.map(t => Doc(t.doc_id, t.text)), root, buckets,
-      targetRun, Some(numPartitions))
+      targetRun, Some(numPartitions), Some(stats))
     numbered.unpersist(blocking = false)
     res
   }

@@ -58,13 +58,13 @@ object StreamingIngest {
       } else (0L, 0L, 0L, -1L)
 
     val parts = spark.sessionState.conf.numShufflePartitions
-    val numbered = DocIds.assign(batch, parts)
+    // batch stats ride the docID assignment's own passes — no extra scan
+    val (assigned, batchStats) = DocIds.assignWithStats(batch, parts)
+    val numbered = assigned
       .map(t => NumberedTurn(t.doc_id + off, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val docs = numbered.map(t => Doc(t.doc_id, t.text))
-    val dls = TermFreqs.docLengths(docs)
-    val batchStats = TermFreqs.corpusStats(dls)
     val nNew = n0 + batchStats.n_docs
     val totNew = tot0 + batchStats.total_tokens
     val avgdlNew = if (nNew == 0) 0.0 else totNew.toDouble / nNew

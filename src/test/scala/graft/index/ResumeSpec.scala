@@ -36,12 +36,12 @@ class ResumeSpec extends AnyFunSuite {
     val dir = s"/tmp/graft-resume-${System.nanoTime()}"
     writeTurnsFixture(s"$dir/turns")
     val s1 = build(s"$dir/turns", s"$dir/idx", resume = false)
-    assert(s1.stagesRun == Seq("docid_assign", "stats", "spimi", "finalize"))
+    assert(s1.stagesRun == Seq("docid_assign", "spimi", "finalize"))
     assert(s1.nTurns == 500 && s1.turnsPerSec > 0)
 
     val s2 = build(s"$dir/turns", s"$dir/idx", resume = true)
     assert(s2.stagesRun.isEmpty)
-    assert(s2.stagesSkipped == Seq("docid_assign", "stats", "spimi", "finalize"))
+    assert(s2.stagesSkipped == Seq("docid_assign", "spimi", "finalize"))
 
     val hits = SearchEngine.topKWand(spark, s"$dir/idx", Seq(Fixtures.term(0)), 5)
     assert(hits.count() == 5)
@@ -55,7 +55,7 @@ class ResumeSpec extends AnyFunSuite {
     val coldDict = Catalog.readDictionary(spark, IndexPaths(s"$dir/idx"))
       .collect().sortBy(_.term).toSeq
 
-    // drop S3+S4 outputs and their manifests, keep S1+S2
+    // drop spimi+finalize outputs and their manifests, keep docid_assign
     import scala.reflect.io.Directory
     new Directory(new java.io.File(s"$dir/idx/postings")).deleteRecursively()
     new Directory(new java.io.File(s"$dir/idx/dictionary")).deleteRecursively()
@@ -68,7 +68,7 @@ class ResumeSpec extends AnyFunSuite {
     new java.io.File(s"$dir/idx/manifests_new").renameTo(new java.io.File(s"$dir/idx/manifests"))
 
     val s = build(s"$dir/turns", s"$dir/idx", resume = true)
-    assert(s.stagesSkipped == Seq("docid_assign", "stats"))
+    assert(s.stagesSkipped == Seq("docid_assign"))
     assert(s.stagesRun == Seq("spimi", "finalize"))
 
     assert(postingsContent(s"$dir/idx") == cold, "resumed postings differ from cold build")
@@ -105,7 +105,7 @@ class ResumeSpec extends AnyFunSuite {
     writeTurnsFixture(s"$dir/turns")
     val s = build(s"$dir/turns", s"$dir/idx", resume = true)
     assert(s.stagesRun.contains("docid_assign"), "input change must re-run S1")
-    assert(s.stagesRun == Seq("docid_assign", "stats", "spimi", "finalize"))
+    assert(s.stagesRun == Seq("docid_assign", "spimi", "finalize"))
   }
 
   test("manifests carry per-partition lineage rows") {
