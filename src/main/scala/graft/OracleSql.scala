@@ -10,9 +10,10 @@ package graft
   */
 object OracleSql {
 
-  /** DuckDB token-array expression over a text column. */
-  def toks(expr: String): String =
-    s"list_filter(regexp_split_to_array(lower($expr), '[^a-z0-9]+'), t -> t <> '')"
+  /** DuckDB token-array expression over a text column — the single pinned
+    * twin of graft.core.Analyzer (unicode parity notes there).
+    */
+  def toks(expr: String): String = graft.core.Analyzer.duckdbTokensExpr(expr)
 
   private def inList(terms: Seq[String]): String =
     terms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -79,11 +80,15 @@ object OracleSql {
     sets.mkString("", "\nUNION\n", "\nORDER BY doc_id")
   }
 
-  /** ES prefix query: docs containing any term with the prefix. */
-  def queryPrefix(prefix: String): String =
-    s"""SELECT DISTINCT doc_id
-       |FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
-       |WHERE term LIKE '$prefix%' ORDER BY doc_id""".stripMargin
+  /** ES prefix query: vocabulary expansion of the prefix (term-ordered,
+    * capped — the engine's dictionary-expansion twin), then the disjunction.
+    */
+  def queryPrefix(prefix: String, maxExpansions: Int = 1000): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |exp AS (SELECT term FROM vocab WHERE term LIKE '$prefix%'
+       |        ORDER BY term LIMIT $maxExpansions)
+       |SELECT DISTINCT doc_id FROM tok JOIN exp USING (term) ORDER BY doc_id""".stripMargin
 
   /** ES fuzzy query: vocabulary expansion within `maxDist` edits (term-
     * ordered, capped), then the disjunction of the expanded terms.

@@ -26,23 +26,36 @@ object Analyzer {
 
   private val pattern = Pattern.compile(TokenSplitRegex)
 
+  // ASCII-only: the fast scan below never sees non-ASCII (unicode falls
+  // back to the regex pipeline before this is consulted)
   @inline private def isTokenChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
-      (c > 127 && Character.isLetterOrDigit(c))
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
 
   /** Scala-side tokenizer (used inside typed Dataset transforms).
     *
-    * Allocation-light single scan (no regex, no whole-string lowercase copy):
-    * at 10^12-turn scale the tokenizer dominates the build's allocation rate,
-    * and GC becomes the scaling ceiling before CPU does. Semantics equal the
-    * regex form (property-tested against it); the only divergence is exotic
-    * Unicode (astral-plane letters, Nl/No numerals, locale-special casing),
-    * which the pinned ASCII-equivalent analyzer explicitly scopes out
-    * (SURVEY.md §1.4).
+    * Pure-ASCII text (the overwhelming common case for code/agent
+    * transcripts) takes an allocation-light single scan — no regex, no
+    * whole-string lowercase copy: at 10^12-turn scale the tokenizer
+    * dominates the build's allocation rate, and GC becomes the scaling
+    * ceiling before CPU does.
+    *
+    * Any non-ASCII char falls back to EXACTLY the Column form's pipeline —
+    * `toLowerCase(Locale.ROOT)` on the whole string (the same Java full
+    * case mapping Spark's `lower()` applies, including the context-
+    * sensitive final-sigma and dotted-İ rules), then the same \p{L}\p{N}
+    * regex split — so the typed index path and the Column query path can
+    * never disagree on ANY input (AnalyzerProps pins this over unicode
+    * generators; r2's split-then-lower fast path produced a different
+    * İstanbul tokenization than the Column form).
     */
   def tokenize(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty[String]
     val n = text.length
+    var a = 0
+    while (a < n && text.charAt(a) <= 127) a += 1
+    if (a < n) { // non-ASCII present: exact Column-form semantics
+      return pattern.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+    }
     val out = new scala.collection.mutable.ArrayBuffer[String](16)
     var i = 0
     while (i < n) {
@@ -54,7 +67,6 @@ object Analyzer {
         while (i < n && isTokenChar(text.charAt(i))) {
           val c = text.charAt(i)
           if (c >= 'A' && c <= 'Z') needsLower = true
-          else if (c > 127 && Character.toLowerCase(c) != c) needsLower = true
           i += 1
         }
         val raw = text.substring(start, i)
@@ -71,7 +83,19 @@ object Analyzer {
   def tokensCol(text: Column): Column =
     filter(split(lower(text), TokenSplitRegex), t => t =!= lit(""))
 
-  /** DuckDB-side equivalent (kept here so oracle SQL builders share it). */
+  /** DuckDB-side equivalent (kept here so oracle SQL builders share it).
+    * RE2 supports the same \p{L}\p{N} classes and DuckDB `lower` is
+    * unicode-aware, so the oracle now tokenizes non-ASCII text (Greek,
+    * Cyrillic, CJK, accented Latin, non-ASCII digits) identically to the
+    * engine — the r2 twin treated EVERY non-ASCII char as a separator.
+    * Known residual divergence, validated by tools/analyzer_parity.py:
+    * DuckDB lower() applies the SIMPLE case mapping where Java applies the
+    * SpecialCasing contextual rules — exactly two codepoint families
+    * differ: U+0130 İ (Java → i+U+0307, DuckDB → i) and final-position
+    * Σ (Java → ς, DuckDB → σ). Documented out of oracle scope; the engine
+    * itself is internally consistent on them (typed ≡ Column, pinned by
+    * AnalyzerProps).
+    */
   def duckdbTokensExpr(textExpr: String): String =
-    s"list_filter(regexp_split_to_array(lower($textExpr), '[^a-z0-9]+'), t -> t <> '')"
+    s"""list_filter(regexp_split_to_array(lower($textExpr), '[^\\p{L}\\p{N}]+'), t -> t <> '')"""
 }

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The typed tokenizer and the Catalyst Column form must agree on EVERY
+  * input — the index is built through the typed path while dedup/text-
+  * analysis queries go through the Column path, so a divergence corrupts
+  * index-vs-SQL comparisons the day the corpus grows non-ASCII text
+  * (VERDICT r2 item 8; r2's split-then-lower fast path tokenized İstanbul
+  * differently from the Column form).
+  */
+class AnalyzerColumnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val samples = Seq(
+    "Hello, World! x2",
+    "Café au Lait — naïve Über_mixed42",
+    "Größe STRASSE ẞ",
+    "Ελληνικά ΚΕΙΜΕΝΟ 123",
+    "ΑΣ ΣΙΓΜΑ", // final-sigma contexts
+    "Русский ТЕКСТ",
+    "日本語のテキスト、句読点。",
+    "한국어 텍스트",
+    "İstanbul I ı", // dotted-İ contextual casing
+    "éclair combining", // combining acute
+    "Ⅻ roman-numeral ٠١٢٣ digits ①",
+    "", " .,; ", "ascii only 42")
+
+  test("typed tokenize equals the Column form on ASCII and unicode") {
+    import spark.implicits._
+    val got = samples.toDF("text")
+      .select(Analyzer.tokensCol($"text"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    val want = samples.map(Analyzer.tokenize(_).toSeq)
+    got.zip(want).zip(samples).foreach { case ((g, w), s) =>
+      assert(g == w, s"Column vs typed tokenizer diverge on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+}

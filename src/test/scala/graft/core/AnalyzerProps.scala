@@ -28,4 +28,35 @@ object AnalyzerProps extends Properties("Analyzer") {
   property("known example") = Prop {
     Analyzer.tokenize("Hello, World! x2  ").toSeq == Seq("hello", "world", "x2")
   }
+
+  // --- non-ASCII parity (VERDICT r2 item 8) --------------------------------
+  // The fallback path must equal the reference pipeline (whole-string Java
+  // lowercase then \p{L}\p{N} split — the Column form's exact semantics)
+  // on arbitrary unicode, INCLUDING the contextual-casing traps İ and Σ.
+
+  private val unicodeChar: Gen[Char] = Gen.frequency(
+    4 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '.', ',', '-', '_', '!', '\n', '\t'),
+    2 -> Gen.oneOf("àéîõüÀÉÎÕÜßẞçÇñÑ".toSeq),
+    2 -> Gen.oneOf("ΑΒΓΔΣΩαβγδσςωΣΙΓΜ".toSeq),
+    2 -> Gen.oneOf("БГДЖЗЛПФЦЧбгджзлпфчц".toSeq),
+    1 -> Gen.oneOf("日本語中文한국어ひらがなカタカナ".toSeq),
+    1 -> Gen.oneOf("İıⅫ٠١٢٣①".toSeq), // dotted-İ, Turkish ı, Nl/No numerals
+    1 -> Gen.oneOf('́', '̇')) // combining marks
+  private val unicodeStr: Gen[String] = Gen.listOf(unicodeChar).map(_.mkString)
+
+  private def referencePipeline(s: String): Seq[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split(Analyzer.TokenSplitRegex).filter(_.nonEmpty).toSeq
+
+  property("unicode: fallback equals the Column-form pipeline") =
+    forAll(unicodeStr) { s => Analyzer.tokenize(s).toSeq == referencePipeline(s) }
+
+  property("unicode: contextual-casing traps pinned") = Prop {
+    // İstanbul: lower-then-split yields (i, stanbul) — U+0307 is a separator
+    Analyzer.tokenize("İstanbul").toSeq == Seq("i", "stanbul") &&
+      // final sigma: Java contextual mapping inside the engine
+      Analyzer.tokenize("ΑΣ ΣΙΓΜΑ").toSeq ==
+        Seq("ας", "σιγμα")
+  }
 }

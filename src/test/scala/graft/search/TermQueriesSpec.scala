@@ -42,4 +42,28 @@ class TermQueriesSpec extends AnyFunSuite {
     assert(ids(TermQueries.prefix(spark, idx.paths.root, "s")) ==
       ids(Booleans.or(spark, idx.paths.root, matching)))
   }
+
+  test("prefix/fuzzy postings scans are bucket-pruned with term pushdown") {
+    // dictionary expansion determines the exact hash buckets, so the scan
+    // must show bucket partition pruning + a pushed term IN filter — not a
+    // full-bucket sweep relying on row-group stats (VERDICT r2 item 7)
+    for (df <- Seq(TermQueries.prefix(spark, idx.paths.root, "s"),
+        TermQueries.fuzzy(spark, idx.paths.root, "joln"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters") && p.contains("term"),
+        s"expected term pushdown in:\n${p.take(2000)}")
+      assert(p.contains("PartitionFilters") || p.contains("bucket#"),
+        s"expected bucket partition pruning in:\n${p.take(2000)}")
+    }
+  }
+
+  test("prefix expansion cap is term-ordered") {
+    import spark.implicits._
+    val all = Catalog.readDictionary(spark, idx.paths).toDF()
+      .filter($"term".startsWith("s")).orderBy($"term")
+      .collect().map(_.getString(0)).toSeq
+    assert(all.size >= 2, "fixture needs >= 2 s-terms")
+    val capped = TermQueries.prefix(spark, idx.paths.root, "s", maxExpansions = 1)
+    assert(ids(capped) == ids(Booleans.or(spark, idx.paths.root, Seq(all.head))))
+  }
 }
