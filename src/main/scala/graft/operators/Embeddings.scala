@@ -69,9 +69,15 @@ object Embeddings {
     emb.select($"vec_id".cast("long"), $"embedding")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        var w: Array[Array[Double]] = null
+        // matrix keyed by vector length: mixed-dimension corpora get the
+        // right-sized (deterministic) matrix per row instead of whatever
+        // the partition's first row dictated — which threw on longer
+        // vectors and silently mis-bucketed shorter ones, partition-order-
+        // dependently (ADVICE r2)
+        val byLen = new java.util.HashMap[Int, Array[Array[Double]]](2)
         it.map { case (id, e) =>
-          if (w == null) w = hyperplaneMatrix(planes, e.length)
+          var w = byLen.get(e.length)
+          if (w == null) { w = hyperplaneMatrix(planes, e.length); byLen.put(e.length, w) }
           var bucket = 0L
           var i = 0
           while (i < planes) {
