@@ -149,20 +149,41 @@ object DocIds {
     val bounds = sampleBoundaries(df, sortCols, numPartitions, totalRows)
     val part = partCol(sortCols, bounds)
 
-    // exact per-part histogram (key-pruned codegen'd scan) → prefix offsets;
-    // with textCol the same scan also sums analyzed token counts per part
+    // exact per-part histogram → prefix offsets; with textCol the same scan
+    // also sums analyzed token counts per part. The token path is a TYPED
+    // per-partition pre-aggregation over the fast scanner — the Column
+    // regex form measured ~6× slower than Analyzer.tokenize on this pass,
+    // which would have cost more than the corpus read it saves. P rows out
+    // per task; deterministic (plain aggregation, no accumulators).
     val numParts = bounds.length + 1
-    val histCols = part.as("__part") +: textCol.map(tc =>
-      size(graft.core.Analyzer.tokensCol(col(tc))).cast("long").as("__dl")).toSeq
-    val aggs = count(lit(1)).as("n") +:
-      textCol.map(_ => sum(col("__dl")).as("toks")).toSeq
-    val histRows = df.select(histCols: _*).groupBy(col("__part"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val counts = histRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val stats = textCol.map { _ =>
-      val tot = histRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
-      CorpusStats(totalRows, tot, if (totalRows == 0) 0.0 else tot.toDouble / totalRows)
+    val (counts, stats) = textCol match {
+      case None =>
+        val rows = df.select(part.as("__part")).groupBy(col("__part"))
+          .agg(count(lit(1)).as("n")).collect()
+        (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap, None)
+      case Some(tc) =>
+        import df.sparkSession.implicits._
+        val rows = df.select(part.as("__part"), col(tc))
+          .as[(Int, String)]
+          .mapPartitions { it =>
+            val agg = new java.util.HashMap[Int, Array[Long]]()
+            it.foreach { case (p, t) =>
+              var a = agg.get(p)
+              if (a == null) { a = new Array[Long](2); agg.put(p, a) }
+              a(0) += 1
+              a(1) += graft.core.Analyzer.tokenize(t).length
+            }
+            scala.jdk.CollectionConverters.IteratorHasAsScala(agg.entrySet().iterator())
+              .asScala.map(e => (e.getKey, e.getValue()(0), e.getValue()(1)))
+          }
+          .toDF("__part", "n", "toks")
+          .groupBy(col("__part"))
+          .agg(sum(col("n")).as("n"), sum(col("toks")).as("toks"))
+          .collect()
+        val tot = rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+        (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+          Some(CorpusStats(totalRows, tot,
+            if (totalRows == 0) 0.0 else tot.toDouble / totalRows)))
     }
     val offsets = new Array[Long](numParts)
     var acc = 0L

@@ -1,0 +1,37 @@
+#!/bin/bash
+# One interleaved scaling pair (BENCH/BASELINE.md protocol): memcpy probe,
+# local[8] build, local[32] build, memcpy probe. Appends one JSON line per
+# pair to $OUT. Builder tooling only.
+set -u
+JAR=${JAR:-target/scala-2.13/e2ebridgespark_2.13-0.1.0.jar}
+OUT=${OUT:-/tmp/scaling_r3.jsonl}
+TAG=${1:-pair}
+
+memgbs() {
+  python3 - <<'EOF'
+import time
+b = bytearray(512*1024*1024)
+t0=time.time(); c = bytes(b); dt=time.time()-t0
+print(f"{0.5/dt:.2f}")
+EOF
+}
+
+run_w() {
+  local N=$1 CPUS=$2
+  taskset -c $CPUS /opt/spark/bin/spark-submit --master local[$N] --driver-memory 16g \
+    --driver-java-options "-XX:+UseParallelGC -Xms16g" \
+    --conf spark.ui.enabled=false --conf spark.local.dir=/dev/shm/spark-local \
+    --conf spark.sql.shuffle.partitions=$N \
+    --class graft.bench.ScalingBench "$JAR" run $N 64000 250 1 2>/dev/null \
+    | grep -E 'rep1' | sed -E 's/.*turns\/sec=([0-9.]+) \| (.*)/\1|\2/'
+}
+
+BW0=$(memgbs)
+R8=$(run_w 8 0-7)
+R32=$(run_w 32 0-31)
+BW1=$(memgbs)
+T8=${R8%%|*}; W8=${R8#*|}
+T32=${R32%%|*}; W32=${R32#*|}
+EFF=$(python3 -c "print(f'{($T32/$T8)/4:.3f}')" 2>/dev/null || echo null)
+echo "{\"tag\":\"$TAG\",\"bw_before_gbs\":$BW0,\"bw_after_gbs\":$BW1,\"t8\":$T8,\"t32\":$T32,\"raw_eff\":$EFF,\"w8\":\"$W8\",\"w32\":\"$W32\"}" >> "$OUT"
+tail -1 "$OUT"
