@@ -66,6 +66,32 @@ object OracleSql {
        |JOIN documents d USING (doc_id)
        |ORDER BY t.score_r4 DESC, t.doc_id""".stripMargin
 
+  /** ES highlight analog: best-window token-space snippets for the top-k
+    * (semantics pinned in search/Highlight.scala — W-token span with the
+    * most query-term matches, earliest-start ties, <em> wrap, space join).
+    */
+  def bm25Highlight(terms: Seq[String], k: Int, window: Int): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    val in = inList(t)
+    s"""WITH topk AS (${bm25TopK(terms, k)}),
+       |tk AS (SELECT d.doc_id, ${toks("d.text")} AS t
+       |       FROM documents d JOIN topk USING (doc_id)),
+       |win AS (SELECT doc_id, t, least($window, len(t)) AS w FROM tk),
+       |starts AS (SELECT doc_id, t, w, unnest(range(1, len(t) - w + 2)) AS s FROM win),
+       |scored AS (SELECT doc_id, t, w, s,
+       |             len(list_filter(t[s:s+w-1], x -> x IN $in)) AS m
+       |           FROM starts),
+       |best AS (SELECT doc_id, t, w, s,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, s ASC) AS rn
+       |         FROM scored)
+       |SELECT topk.doc_id, topk.score_r4,
+       |       list_aggregate(list_transform(b.t[b.s:b.s+b.w-1],
+       |         x -> CASE WHEN x IN $in THEN '<em>' || x || '</em>' ELSE x END),
+       |         'string_agg', ' ') AS snippet
+       |FROM topk JOIN best b ON topk.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY topk.score_r4 DESC, topk.doc_id""".stripMargin
+  }
+
   /** Unscored boolean AND over `documents`: docs containing all terms. */
   def boolAnd(terms: Seq[String]): String = {
     val sets = terms.map(t =>

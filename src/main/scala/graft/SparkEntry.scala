@@ -96,6 +96,12 @@ object SparkEntry {
         .select($"doc_id", $"score_r4", $"source", $"n_chars")
         .orderBy($"score_r4".desc, $"doc_id".asc)
     }),
+    // ES highlight analog: token-space best-window snippets for the top-k
+    "bm25_highlight" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.Highlight.topKHighlighted(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K, window = 8)
+    }),
     // --- BM25 top-k: brute-force oracle twin (no index) ---------------------
     "bm25_topk_brute" -> ((s, dir) =>
       BruteForce.topKRounded(Catalog.readDocuments(s, dir).toDF(), Seq("window", "stream"), K)),
@@ -239,6 +245,7 @@ object SparkEntry {
     "bm25_search_after" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, offset = K),
     "bm25_boosted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       boosts = Map("join" -> 3.0, "vector" -> 0.5)),
+    "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
     "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
     "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),
     "bool_and" -> OracleSql.boolAnd(Seq("join", "hash")),
