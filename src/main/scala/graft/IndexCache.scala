@@ -33,6 +33,15 @@ object IndexCache {
       })
     }
 
+  /** Keyword-field postings over the cached documents index (built once per
+    * (sfDir, field); KeywordIndex.add's marker makes it idempotent anyway).
+    */
+  def keywordField(spark: SparkSession, sfDir: String, field: String): Unit = {
+    val idx = documentsIndex(spark, sfDir)
+    graft.index.KeywordIndex.add(spark, idx.paths.root,
+      Catalog.readTable(spark, sfDir, "documents"), field)
+  }
+
   private val lshBuilt = scala.collection.mutable.Map[String, String]()
 
   /** LSH bucket table over `embeddings`, computed once per sfDir and

@@ -24,7 +24,8 @@ object OracleSql {
     * engine's `term^w` weight semantics).
     */
   def bm25TopK(terms: Seq[String], k: Int, minMatch: Int = 1,
-      offset: Int = 0, boosts: Map[String, Double] = Map.empty): String = {
+      offset: Int = 0, boosts: Map[String, Double] = Map.empty,
+      docFilter: Option[String] = None): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
     val wt =
       if (boosts.isEmpty) ""
@@ -52,7 +53,9 @@ object OracleSql {
        |  CROSS JOIN stats
        |)
        |SELECT doc_id, round(sum(c), 4) AS score_r4
-       |FROM contrib GROUP BY doc_id
+       |FROM contrib${docFilter.map(p =>
+             s"\nWHERE doc_id IN (SELECT doc_id FROM documents WHERE $p)").getOrElse("")}
+       |GROUP BY doc_id
        |HAVING count(*) >= $minMatch
        |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k OFFSET $offset""".stripMargin
   }

@@ -96,6 +96,15 @@ object SparkEntry {
         .select($"doc_id", $"score_r4", $"source", $"n_chars")
         .orderBy($"score_r4".desc, $"doc_id".asc)
     }),
+    // ES bool filter context: scored match restricted to a keyword-field
+    // value (synthetic `field:value` postings, required non-scoring WAND
+    // cursors; BM25 stats stay corpus-wide — filters never change scoring)
+    "bm25_filtered" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      IndexCache.keywordField(s, dir, "source")
+      SearchEngine.topKFiltered(s, idx.paths.root,
+        Seq("join", "window", "vector"), K, Seq("source:src3"))
+    }),
     // ES highlight analog: token-space best-window snippets for the top-k
     "bm25_highlight" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -245,6 +254,8 @@ object SparkEntry {
     "bm25_search_after" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K, offset = K),
     "bm25_boosted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       boosts = Map("join" -> 3.0, "vector" -> 0.5)),
+    "bm25_filtered" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      docFilter = Some("source = 'src3'")),
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
     "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
     "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),

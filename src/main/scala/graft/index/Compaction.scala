@@ -65,6 +65,10 @@ object Compaction {
     // now, each doc once per term; max_tf_norm freshly recomputed)
     val dictNew = s"${paths.dictionaryBase}_staging"
     spark.read.parquet(paths.postings)
+      // keyword-field postings (KeywordIndex `field:value` terms — ':' can
+      // never appear in an analyzed token) stay out of the dictionary: they
+      // carry no idf and the dictionary doubles as the text-term stats table
+      .filter(!$"term".contains(":"))
       .groupBy($"term")
       .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
         max($"max_tf_norm").as("max_tf_norm"))

@@ -49,7 +49,8 @@ object IndexBuildJob {
       targetRun: Long = 1L << 20,
       partitions: Option[Int] = None,
       resume: Boolean = false,
-      compact: Boolean = false)
+      compact: Boolean = false,
+      keywordFields: Seq[String] = Nil)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -64,6 +65,10 @@ object IndexBuildJob {
         case "--partitions" => a = a.copy(partitions = Some(argv(i + 1).toInt)); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
         case "--compact" => a = a.copy(compact = true); i += 1
+        // repeatable: index a metadata column as `field:value` filter
+        // postings (KeywordIndex; queried via SearchJob --filter)
+        case "--keyword-field" =>
+          a = a.copy(keywordFields = a.keywordFields :+ argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -187,6 +192,14 @@ object IndexBuildJob {
       val s4Fp = Catalog.fingerprint(paths.postings)
       stage("compact", s4Fp, paths.postings) {
         Compaction.compact(spark, a.output)
+      }
+    }
+
+    // ---- optional keyword-field filter postings (after compact: they are
+    // appended segments and would otherwise just be re-merged) -------------
+    a.keywordFields.foreach { f =>
+      stage(s"kw_$f", s1Fp + "+" + f, paths.postings) {
+        KeywordIndex.add(spark, a.output, Catalog.readNumbered(spark, paths).toDF(), f)
       }
     }
 

@@ -36,6 +36,12 @@ object Fs {
     fs.delete(p, true): Unit
   }
 
+  /** Create an empty marker file (idempotency sentinels). */
+  def touch(path: String): Unit = {
+    val (fs, p) = fsOf(path)
+    fs.create(p, true).close()
+  }
+
   // ---- versioned-artifact pointer protocol ---------------------------------
   // The Iceberg-snapshot shape for swappable index artifacts (VERDICT r2
   // item 3; replaces the old delete-then-rename `replace`, whose window

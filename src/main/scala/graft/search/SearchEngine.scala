@@ -41,15 +41,15 @@ object SearchEngine {
     QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k)
   }
 
-  /** Postings scan restricted to the query terms (bucket pruning + term
+  /** Postings scan restricted to the given terms (bucket pruning + term
     * pushdown).
     */
   private def queryPostings(spark: SparkSession, paths: IndexPaths,
-      qm: QueryModel, buckets: Int) = {
+      terms: Seq[String], buckets: Int) = {
     import spark.implicits._
-    val qBuckets = qm.terms.map(Blocks.bucketOf(_, buckets)).distinct.toSeq
+    val qBuckets = terms.map(Blocks.bucketOf(_, buckets)).distinct
     Catalog.readPostings(spark, paths)
-      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(qm.terms.toSeq: _*))
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(terms: _*))
   }
 
   /** Exhaustive index scorer: decode every matching block, shuffle
@@ -67,7 +67,7 @@ object SearchEngine {
     if (qm.isEmpty) return emptyHits(spark)
     val bcQm = spark.sparkContext.broadcast(qm)
 
-    val contribs = queryPostings(spark, paths, qm, meta.buckets)
+    val contribs = queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
       .flatMap { b =>
         val qmv = bcQm.value
         val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
@@ -138,7 +138,7 @@ object SearchEngine {
     if (qm.isEmpty) return emptyHits(spark)
     val bcQm = spark.sparkContext.broadcast(qm)
 
-    queryPostings(spark, paths, qm, meta.buckets)
+    queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
       .flatMap { b =>
         val qmv = bcQm.value
         val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
@@ -164,7 +164,6 @@ object SearchEngine {
       .toDF()
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
-      .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
   /** ES from/size pagination: rows (from, from+size] of the ranking. The
@@ -219,7 +218,8 @@ object SearchEngine {
     */
   def topKWand(spark: SparkSession, root: String, rawTerms: Seq[String],
       k: Int, shardsOpt: Option[Int] = None, robustBounds: Boolean = false,
-      minMatch: Int = 1, after: Option[(Double, Long)] = None): DataFrame = {
+      minMatch: Int = 1, after: Option[(Double, Long)] = None,
+      filters: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
@@ -227,13 +227,18 @@ object SearchEngine {
     if (qm.isEmpty || qm.terms.length < minMatch) return emptyHits(spark)
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, -1L))
     val bcQm = spark.sparkContext.broadcast(qm)
+    // filter terms (ES filter context): synthetic `field:value` posting
+    // lists (KeywordIndex) joined into the same scan as required,
+    // NON-SCORING cursors (idf 0 ⇒ zero bounds and zero contributions);
+    // disjoint from analyzed terms by the ':' construction
+    val filterTerms = filters.distinct.sorted.toArray
     val shards = shardsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val width = math.max(1L, (meta.doc_id_space + shards - 1) / shards)
     // incrementally-grown indexes carry stale stored bounds (avgdl drift) —
     // robust bounds are mandatory there, independent of the caller's flag
     val robust = robustBounds || meta.incremental
 
-    queryPostings(spark, paths, qm, meta.buckets)
+    queryPostings(spark, paths, qm.terms.toSeq ++ filterTerms, meta.buckets)
       .flatMap { b =>
         // a ≤128-doc block rarely spans more than one width-sized shard
         ((b.first_doc / width) to (b.last_doc / width)).iterator
@@ -243,22 +248,50 @@ object SearchEngine {
       .flatMapGroups { (shard, it) =>
         val qmv = bcQm.value
         val byTerm = it.map(_._2).toArray.groupBy(_.term)
-        val lo = shard.toLong * width
-        val hi = lo + width
-        val cursors = new scala.collection.mutable.ArrayBuffer[Wand.TermCursor](qmv.terms.length)
-        var ti = 0
-        while (ti < qmv.terms.length) {
-          byTerm.get(qmv.terms(ti)).foreach { bs =>
-            cursors += new Wand.TermCursor(qmv.idfs(ti), bs.sortBy(_.first_doc),
-              qmv.avgdl, hi, robust)
+        // a shard missing any filter term's postings holds no matching docs
+        if (!filterTerms.forall(byTerm.contains)) Iterator.empty
+        else {
+          val lo = shard.toLong * width
+          val hi = lo + width
+          val cursors = new scala.collection.mutable.ArrayBuffer[Wand.TermCursor](
+            qmv.terms.length + filterTerms.length)
+          val req = new scala.collection.mutable.ArrayBuffer[Boolean](
+            qmv.terms.length + filterTerms.length)
+          var ti = 0
+          while (ti < qmv.terms.length) {
+            byTerm.get(qmv.terms(ti)).foreach { bs =>
+              cursors += new Wand.TermCursor(qmv.idfs(ti), bs.sortBy(_.first_doc),
+                qmv.avgdl, hi, robust)
+              req += false
+            }
+            ti += 1
           }
-          ti += 1
+          ti = 0
+          while (ti < filterTerms.length) {
+            cursors += new Wand.TermCursor(0.0,
+              byTerm(filterTerms(ti)).sortBy(_.first_doc), qmv.avgdl, hi, robust)
+            req += true
+            ti += 1
+          }
+          Wand.scoreShard(cursors.toArray, lo, qmv.k, minMatch, afterScore,
+            afterDoc, req.toArray).iterator
         }
-        Wand.scoreShard(cursors.toArray, lo, qmv.k, minMatch, afterScore, afterDoc).iterator
       }
       .toDF()
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
+  }
+
+  /** ES bool `must: match` + `filter: term` — scored top-k restricted to
+    * docs carrying the keyword-field values, with FULL-corpus BM25 stats
+    * (filter context never changes scoring, per ES). `filters` are
+    * `field:value` terms previously indexed by KeywordIndex.add.
+    */
+  def topKFiltered(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int, filters: Seq[String], minMatch: Int = 1): DataFrame = {
+    import spark.implicits._
+    topKWand(spark, root, rawTerms, k, minMatch = minMatch, filters = filters)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
   /** Driver-contract shape for the WAND path. */

@@ -33,7 +33,8 @@ object SearchJob {
       robustBounds: Boolean = false,
       minMatch: Int = 1,
       from: Int = 0,
-      after: Option[(Double, Long)] = None)
+      after: Option[(Double, Long)] = None,
+      filters: Seq[String] = Nil)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -51,13 +52,17 @@ object SearchJob {
         case "--after" =>
           val Array(s, d) = argv(i + 1).split(":", 2)
           a = a.copy(after = Some((s.toDouble, d.toLong))); i += 2
+        // repeatable: `--filter role:assistant --filter tool:bash` (keyword
+        // postings previously indexed by KeywordIndex.add)
+        case "--filter" => a = a.copy(filters = a.filters :+ argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
     require(a.index.nonEmpty && a.query.nonEmpty, "--index and --query are required")
     require(a.from == 0 || a.after.isEmpty, "--from and --after are mutually exclusive")
-    require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 && !a.robustBounds),
-      "--from/--after/--min-match/--robust-bounds require --mode wand")
+    require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 &&
+      !a.robustBounds && a.filters.isEmpty),
+      "--from/--after/--min-match/--robust-bounds/--filter require --mode wand")
     a
   }
 
@@ -74,7 +79,8 @@ object SearchJob {
           minMatch = a.minMatch, robustBounds = a.robustBounds)
       case "wand" =>
         SearchEngine.topKWand(spark, a.index, terms, a.k,
-          robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after)
+          robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after,
+          filters = a.filters)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }

@@ -50,6 +50,11 @@ object Wand {
     private var pos = 0
     var curDoc: Long = -1L
 
+    /** Non-scoring conjunct (ES filter context): idf must be 0; set by
+      * scoreShard from its `required` mask.
+      */
+    var required: Boolean = false
+
     /** Exact per-shard term upper bound. */
     val termUB: Double = {
       var m = 0.0
@@ -167,12 +172,29 @@ object Wand {
     * an exact filter applied at evaluation (an upper-bound test cannot
     * exclude docs ABOVE a score), so every skip decision stays θ-driven and
     * rank-safe; pages are O(k) regardless of depth, unlike from/size.
+    *
+    * `required` (ES bool filter context): cursors flagged required are
+    * non-scoring conjuncts (their idf is 0, so their UB and contribution
+    * are 0) that a doc MUST match to qualify. Each round every cursor is
+    * first aligned to the max required curDoc — no qualifying doc exists
+    * below it (a required posting list has no earlier docs left), so the
+    * seek is exact, and evaluation then only ever fires with all required
+    * cursors on the pivot. A required cursor exhausting ends the shard.
+    * Required matches do NOT count toward `minMatch` (mm is a predicate on
+    * the scored should-clauses, as in ES).
     */
   def scoreShard(cursors: Array[TermCursor], lo: Long, k: Int,
       minMatch: Int = 1,
       afterScore: Double = Double.PositiveInfinity,
-      afterDoc: Long = -1L): Seq[Hit] = {
-    if (k <= 0 || cursors.isEmpty || cursors.length < minMatch) return Nil
+      afterDoc: Long = -1L,
+      required: Array[Boolean] = null): Seq[Hit] = {
+    if (required != null) {
+      var i = 0
+      while (i < cursors.length) { cursors(i).required = required(i); i += 1 }
+    }
+    val scoringCount = cursors.count(!_.required)
+    if (k <= 0 || cursors.isEmpty || scoringCount < minMatch) return Nil
+    val reqCursors: Array[TermCursor] = cursors.filter(_.required)
     val heap = new KHeap(k)
     var i = 0
     while (i < cursors.length) { cursors(i).seek(lo); i += 1 }
@@ -200,7 +222,32 @@ object Wand {
         n = w
       }
       repairOrder(arr, n)
-      if (n < minMatch) done = true // too few live terms to ever reach mm
+      // a required cursor exhausting means no filter-matching docs remain
+      var reqDead = false
+      var liveScoring = 0
+      var reqMax = -1L
+      var ri = 0
+      while (ri < reqCursors.length) {
+        val c = reqCursors(ri)
+        if (c.exhausted) reqDead = true
+        else if (c.curDoc > reqMax) reqMax = c.curDoc
+        ri += 1
+      }
+      ri = 0
+      while (ri < n) { if (!arr(ri).required) liveScoring += 1; ri += 1 }
+      var realigned = false
+      if (!reqDead && reqMax >= 0) {
+        // align every cursor to the required frontier: a qualifying doc must
+        // appear in every required posting list, none of which has a doc
+        // left below reqMax — exact skip, independent of θ
+        ri = 0
+        while (ri < n) {
+          if (arr(ri).curDoc < reqMax) { arr(ri).seek(reqMax); realigned = true }
+          ri += 1
+        }
+      }
+      if (reqDead || liveScoring < minMatch) done = true
+      else if (realigned) () // re-compact + re-sort, then retry this round
       else {
         val theta = heap.theta
         // pivot: first p with cumulative term UB >= theta
@@ -251,7 +298,10 @@ object Wand {
               var matched = 0
               var t = 0
               while (t < cursors.length) {
-                if (cursors(t).curDoc == pivot) { sc += cursors(t).score(); matched += 1 }
+                if (cursors(t).curDoc == pivot) {
+                  sc += cursors(t).score() // required cursors contribute 0 (idf 0)
+                  if (!cursors(t).required) matched += 1
+                }
                 t += 1
               }
               if (matched >= minMatch &&

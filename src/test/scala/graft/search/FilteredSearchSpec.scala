@@ -1,0 +1,86 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexCache, TestSpark}
+import graft.io.Catalog
+
+/** ES bool filter context (must: match + filter: term): the WAND path with
+  * required non-scoring cursors must equal the exhaustive shadow — score the
+  * whole corpus with FULL-corpus stats, join the metadata filter, then
+  * top-k. Scores must be identical to the unfiltered scorer's for the same
+  * docs (filters never change scoring).
+  */
+class FilteredSearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val root: String = {
+    val idx = IndexCache.documentsIndex(spark, sfDir)
+    IndexCache.keywordField(spark, sfDir, "source")
+    IndexCache.keywordField(spark, sfDir, "lang")
+    idx.paths.root
+  }
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** Exhaustive shadow: full scoring, then metadata post-filter, then k. */
+  private def shadow(q: Seq[String], preds: Seq[(String, String)], k: Int,
+      mm: Int = 1): Seq[(Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scored =
+      if (mm <= 1) SearchEngine.topKExhaustive(spark, root, q, Int.MaxValue)
+      else SearchEngine.topKMinShouldMatchExhaustive(spark, root, q, Int.MaxValue, mm)
+    val docs = preds.foldLeft(Catalog.readTable(spark, sfDir, "documents")) {
+      case (d, (f, v)) => d.filter(col(f) === v)
+    }.select($"doc_id")
+    hits(scored.join(docs, "doc_id")
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4")))
+  }
+
+  test("filtered WAND equals exhaustive shadow across filters × queries × k") {
+    for {
+      q <- Seq(Seq("join", "window", "vector"), Seq("join"), Seq("the", "a", "hash"))
+      (field, value) <- Seq(("source", "src3"), ("source", "src0"), ("lang", "en"))
+      k <- Seq(3, 10, 100)
+    } {
+      val w = hits(SearchEngine.topKFiltered(spark, root, q, k, Seq(s"$field:$value")))
+      val e = shadow(q, Seq((field, value)), k)
+      assert(w == e, s"filtered WAND != shadow for q=$q $field=$value k=$k")
+      assert(w.nonEmpty, s"fixture should match something for $field=$value")
+    }
+  }
+
+  test("multiple filters AND together; unknown values yield empty") {
+    val q = Seq("join", "window", "vector")
+    val w = hits(SearchEngine.topKFiltered(spark, root, q, 10,
+      Seq("source:src3", "lang:en")))
+    assert(w == shadow(q, Seq(("source", "src3"), ("lang", "en")), 10))
+    assert(hits(SearchEngine.topKFiltered(spark, root, q, 10,
+      Seq("source:nope"))).isEmpty)
+  }
+
+  test("filters compose with minimum_should_match") {
+    import spark.implicits._
+    val q = Seq("join", "hash")
+    val w = SearchEngine.topKFiltered(spark, root, q, 10,
+      Seq("source:src3"), minMatch = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val e = shadow(q, Seq(("source", "src3")), 10, mm = 2)
+    assert(w == e, s"filtered mm-WAND != shadow")
+  }
+
+  test("filter context never changes scores") {
+    val q = Seq("join", "window", "vector")
+    val filtered = hits(SearchEngine.topKFiltered(spark, root, q, 100, Seq("source:src3"))).toMap
+    val plain = hits(SearchEngine.topKExhaustiveRounded(spark, root, q, Int.MaxValue)).toMap
+    filtered.foreach { case (d, s) =>
+      assert(plain(d) == s, s"doc $d scored differently under a filter")
+    }
+  }
+}

@@ -39,7 +39,8 @@ class WandSpec extends AnyFunSuite {
       Seq("the", "a", "join"), Seq("join", "zebra"), Seq("zebra", "quagga"),
       Seq("scan", "filter", "sort", "merge", "group"))
     for (q <- queries; mm <- 1 to (q.size + 1); k <- Seq(1, 10, 100)) {
-      val w = hits(SearchEngine.topKMinShouldMatch(spark, idx.paths.root, q, k, mm))
+      // unrounded on both sides: bit-identity, not 4-decimal identity
+      val w = hits(SearchEngine.topKWand(spark, idx.paths.root, q, k, minMatch = mm))
       val e = hits(SearchEngine.topKMinShouldMatchExhaustive(spark, idx.paths.root, q, k, mm))
       assert(w == e, s"WAND-mm != exhaustive-mm for q=$q mm=$mm k=$k")
     }
@@ -52,7 +53,7 @@ class WandSpec extends AnyFunSuite {
     val res = Indexer.buildFromTurns(turns, root, buckets = 8, targetRun = 512)
     assert(res.stats.n_docs == 5000)
     for (q <- Fixtures.refQueries.filter(_.size >= 2); mm <- 2 to 3) {
-      val w = hits(SearchEngine.topKMinShouldMatch(spark, root, q, 10, mm))
+      val w = hits(SearchEngine.topKWand(spark, root, q, 10, minMatch = mm))
       val e = hits(SearchEngine.topKMinShouldMatchExhaustive(spark, root, q, 10, mm))
       assert(w == e, s"WAND-mm != exhaustive-mm for q=$q mm=$mm")
     }
