@@ -86,6 +86,51 @@ object ScalingBench {
           s""""median_turns_per_sec":$med}""")
       spark.stop()
 
-    case m => throw new IllegalArgumentException(s"unknown mode $m (gen|run)")
+    // bytes-moved accounting: one build with a SparkListener totalling
+    // input/output/shuffle bytes across all jobs — pins the scaling residual
+    // to the bytes the single shared memory bus must move (each real cluster
+    // node multiplies buses + disks; local[N] multiplies only cores)
+    case "audit" =>
+      val cores = args(1).toInt
+      val convs = args(2).toInt
+      val tpc = args(3).toInt
+      val b = SparkSession.builder().appName(s"graft-scaling-audit")
+      if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+      val spark = b
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val acc = new java.util.concurrent.atomic.AtomicLongArray(4) // in, out, sw, sr
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            acc.addAndGet(0, m.inputMetrics.bytesRead)
+            acc.addAndGet(1, m.outputMetrics.bytesWritten)
+            acc.addAndGet(2, m.shuffleWriteMetrics.bytesWritten)
+            acc.addAndGet(3, m.shuffleReadMetrics.totalBytesRead)
+          }
+        }
+      })
+      val out = s"/tmp/graft-scaling/idx-audit-$cores"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      def snap(): Array[Long] = Array.tabulate(4)(acc.get)
+      val before = snap()
+      val s = IndexBuildJob.run(spark, IndexBuildJob.Args(
+        input = turnsPath(convs, tpc), output = out, buckets = 32,
+        targetRun = 1 << 16, partitions = Some(cores), resume = false))
+      Thread.sleep(2000) // let the async listener bus drain task-end events
+      val d = snap().zip(before).map { case (a2, b2) => a2 - b2 }
+      val gb = d.map(x => f"${x / 1e9}%.2f")
+      println(s"""{"mode":"audit","cores":$cores,"n_turns":${convs.toLong * tpc},""" +
+        s""""turns_per_sec":${s.turnsPerSec},""" +
+        s""""input_gb":${gb(0)},"output_gb":${gb(1)},"shuffle_write_gb":${gb(2)},""" +
+        s""""shuffle_read_gb":${gb(3)},"stage_walls_ms":${
+          s.stageWalls.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}""")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      spark.stop()
+
+    case m => throw new IllegalArgumentException(s"unknown mode $m (gen|run|audit)")
   }
 }
