@@ -29,6 +29,7 @@ object Bench {
     IndexCache.positionalIndex(spark, sfDir)
     IndexCache.lshBucketsPath(spark, sfDir)            // ANN probes (planes=8)
     IndexCache.lshBucketsPath(spark, sfDir, planes = 4) // near-dup pairs
+    IndexCache.keywordField(spark, sfDir, "source")    // filter postings
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

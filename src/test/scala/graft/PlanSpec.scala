@@ -39,6 +39,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n${p.take(2000)}")
   }
 
+  test("filtered search adds NO exchange: filter terms ride the same pruned scan") {
+    IndexCache.keywordField(spark, sfDir, "source")
+    val plain = plan(SearchEngine.topKWand(spark, idx.paths.root, Seq("join", "window"), 10))
+    val filtered = plan(SearchEngine.topKWand(spark, idx.paths.root,
+      Seq("join", "window"), 10, filters = Seq("source:src3")))
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(filtered) == exchanges(plain),
+      s"filter context must not add a shuffle:\n${filtered.take(2000)}")
+    assert(filtered.contains("source:src3"),
+      s"filter term must be pushed into the postings scan:\n${filtered.take(2000)}")
+    assert(filtered.contains("TakeOrderedAndProject"))
+  }
+
   test("dimension joins broadcast") {
     val p = plan(Relational.topSuppliers(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n${p.take(2000)}")
