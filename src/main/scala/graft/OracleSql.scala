@@ -69,6 +69,83 @@ object OracleSql {
        |JOIN documents d USING (doc_id)
        |ORDER BY t.score_r4 DESC, t.doc_id""".stripMargin
 
+  /** ES `_explain` analog: per-term BM25 contribution rows for the top-k. */
+  def bm25Explain(terms: Seq[String], k: Int): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+       |), topk AS (
+       |  SELECT doc_id FROM contrib GROUP BY doc_id
+       |  ORDER BY sum(c) DESC, doc_id ASC LIMIT $k
+       |)
+       |SELECT c.doc_id, c.term, round(c.c, 6) AS contrib_r6
+       |FROM contrib c JOIN topk USING (doc_id)
+       |ORDER BY c.doc_id, c.term""".stripMargin
+  }
+
+  /** Reciprocal Rank Fusion of the BM25 and embedding-cosine rankings
+    * (semantics pinned in search/Hybrid.scala).
+    */
+  def hybridRrf(terms: Seq[String], probeId: Long, k: Int,
+      window: Int, k0: Int): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+       |), lexs AS (
+       |  SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id
+       |), lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+       |  FROM lexs ORDER BY s DESC, doc_id ASC LIMIT $window
+       |), p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId
+       |), cs AS (
+       |  SELECT vec_id,
+       |    round(list_sum(list_transform(range(1, len(embedding) + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(range(1, len(pe) + 1),
+       |        i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))))), 6) AS cos_r6
+       |  FROM embeddings CROSS JOIN p WHERE vec_id <> $probeId
+       |), sem AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_r6 DESC, vec_id ASC) AS r
+       |  FROM cs ORDER BY cos_r6 DESC, vec_id ASC LIMIT $window
+       |), fused AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |         coalesce(1.0 / ($k0 + lex.r), 0) + coalesce(1.0 / ($k0 + sem.r), 0) AS s
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |)
+       |SELECT doc_id, round(s, 6) AS rrf_r6 FROM fused
+       |ORDER BY s DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** ES highlight analog: best-window token-space snippets for the top-k
     * (semantics pinned in search/Highlight.scala — W-token span with the
     * most query-term matches, earliest-start ties, <em> wrap, space join).

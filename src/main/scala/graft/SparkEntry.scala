@@ -105,6 +105,17 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // ES _explain analog: per-term score breakdown for every top-k doc
+    "bm25_explain" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.explainTopK(s, idx.paths.root, Seq("join", "window", "vector"), K)
+    }),
+    // hybrid retrieval: RRF fusion of BM25 and embedding-cosine rankings
+    "hybrid_rrf" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.Hybrid.rrfTopK(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), 0L, K)
+    }),
     // ES highlight analog: token-space best-window snippets for the top-k
     "bm25_highlight" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -257,6 +268,9 @@ object SparkEntry {
     "bm25_filtered" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("source = 'src3'")),
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
+    "bm25_explain" -> OracleSql.bm25Explain(Seq("join", "window", "vector"), K),
+    "hybrid_rrf" -> OracleSql.hybridRrf(Seq("join", "window", "vector"), 0L, K,
+      window = 50, k0 = 60),
     "bm25_topk_brute" -> OracleSql.bm25TopK(Seq("window", "stream"), K),
     "bm25_low_idf_brute" -> OracleSql.bm25TopK(Seq("the", "a"), K),
     "bool_and" -> OracleSql.boolAnd(Seq("join", "hash")),

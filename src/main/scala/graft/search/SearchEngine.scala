@@ -302,6 +302,45 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** ES `_explain` analog: per-term score breakdown for every top-k doc —
+    * (doc_id, term, contribution). The same pruned scan as the scorer,
+    * restricted to the top-k docIDs (broadcast); contributions re-derived
+    * from the postings exactly as the scorer computes them, so the rows sum
+    * to the hit scores bit-for-bit.
+    */
+  def explainTopK(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val qm = queryModel(spark, paths, rawTerms, k)
+    if (qm.isEmpty) return spark.emptyDataset[(Long, String, Double)]
+      .toDF("doc_id", "term", "contrib_r6")
+    val bcQm = spark.sparkContext.broadcast(qm)
+    val topDocs = topKWand(spark, root, rawTerms, k)
+      .select($"doc_id").as[Long].collect().toSet
+    val bcDocs = spark.sparkContext.broadcast(topDocs)
+
+    queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
+      .flatMap { b =>
+        val qmv = bcQm.value
+        val docs = bcDocs.value
+        val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
+        if (ti < 0) Iterator.empty
+        else {
+          val idf = qmv.idfs(ti)
+          val d = Blocks.decode(b)
+          (0 until d.docs.length).iterator
+            .filter(i => docs.contains(d.docs(i)))
+            .map(i => (d.docs(i), b.term,
+              idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, qmv.avgdl)))
+        }
+      }
+      .toDF("doc_id", "term", "contrib")
+      .select($"doc_id", $"term", round($"contrib", 6).as("contrib_r6"))
+      .orderBy($"doc_id", $"term")
+  }
+
   private[search] def emptyHits(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[Hit].toDF()
