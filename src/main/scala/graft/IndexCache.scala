@@ -42,6 +42,39 @@ object IndexCache {
       Catalog.readTable(spark, sfDir, "documents"), field)
   }
 
+  /** Index copy with `deleteByQuery(delTerms)` tombstones live (ES
+    * soft-deletes: stats untouched, query-time exclusion). A separate root
+    * per variant so the delete never leaks into the shared [[documentsIndex]]
+    * the other queries run against.
+    */
+  def deletedIndex(spark: SparkSession, sfDir: String,
+      delTerms: Seq[String]): Indexer.BuildResult = synchronized {
+    built.getOrElseUpdate(s"$sfDir#deleted#${delTerms.mkString(",")}", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft-index-$jvmTag/$key/documents_deleted"
+      val res = Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+        buckets = Buckets, targetRun = TargetRun)
+      graft.index.Deletes.deleteByQuery(spark, root, delTerms)
+      res
+    })
+  }
+
+  /** [[deletedIndex]] after the expunge merge: tombstoned docs rewritten out
+    * and all stats recomputed over the live corpus ([[graft.index.Deletes.purge]]).
+    */
+  def purgedIndex(spark: SparkSession, sfDir: String,
+      delTerms: Seq[String]): Indexer.BuildResult = synchronized {
+    built.getOrElseUpdate(s"$sfDir#purged#${delTerms.mkString(",")}", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft-index-$jvmTag/$key/documents_purged"
+      val res = Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+        buckets = Buckets, targetRun = TargetRun)
+      graft.index.Deletes.deleteByQuery(spark, root, delTerms)
+      graft.index.Deletes.purge(spark, root)
+      res
+    })
+  }
+
   private val lshBuilt = scala.collection.mutable.Map[String, String]()
 
   /** LSH bucket table over `embeddings`, computed once per sfDir and

@@ -25,19 +25,24 @@ object OracleSql {
     */
   def bm25TopK(terms: Seq[String], k: Int, minMatch: Int = 1,
       offset: Int = 0, boosts: Map[String, Double] = Map.empty,
-      docFilter: Option[String] = None): String = {
+      docFilter: Option[String] = None,
+      corpusFilter: Option[String] = None): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
     val wt =
       if (boosts.isEmpty) ""
       else boosts.toSeq.sortBy(_._1)
         .map { case (term, w) => s"WHEN '$term' THEN $w" }
         .mkString(" * (CASE tf.term ", " ", " ELSE 1.0 END)")
+    // corpusFilter shrinks the corpus itself (stats AND candidates) — the
+    // post-purge index; docFilter excludes docs from the RESULT only, with
+    // full-corpus stats — live soft-deletes / ES filter context
+    val cw = corpusFilter.map(p => s" WHERE $p").getOrElse("")
     s"""WITH dls AS (
-       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents$cw
        |), stats AS (
        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
        |), tok AS (
-       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents$cw
        |), tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM tok
        |  WHERE term IN ${inList(t)} GROUP BY doc_id, term

@@ -105,6 +105,19 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // ES _delete_by_query, soft-delete phase: tombstoned docs excluded from
+    // results, surviving scores UNCHANGED (full-corpus stats, as in Lucene
+    // until merge)
+    "bm25_deleted" -> ((s, dir) => {
+      val idx = IndexCache.deletedIndex(s, dir, Seq("stream"))
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("join", "window", "vector"), K)
+    }),
+    // after the expunge merge: stats recomputed over live docs only —
+    // query-identical to an index freshly built over the live corpus
+    "bm25_purged" -> ((s, dir) => {
+      val idx = IndexCache.purgedIndex(s, dir, Seq("stream"))
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("join", "window", "vector"), K)
+    }),
     // ES _explain analog: per-term score breakdown for every top-k doc
     "bm25_explain" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -268,6 +281,10 @@ object SparkEntry {
     "bm25_filtered" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("source = 'src3'")),
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
+    "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      docFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),
+    "bm25_purged" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      corpusFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),
     "bm25_explain" -> OracleSql.bm25Explain(Seq("join", "window", "vector"), K),
     "hybrid_rrf" -> OracleSql.hybridRrf(Seq("join", "window", "vector"), 0L, K,
       window = 50, k0 = 60),

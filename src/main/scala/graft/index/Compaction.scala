@@ -87,12 +87,14 @@ object Compaction {
   /** Streaming per-partition merge: input blocks sorted by (bucket, term,
     * first_doc); a term never spans buckets (bucket = hash(term)), so term
     * groups are contiguous. Decode each group in order, feed one
-    * run-0 Accumulator — O(BlockSize) memory.
+    * run-0 Accumulator — O(BlockSize) memory. `deleted` (sorted, may be
+    * empty) is the tombstone set an expunge merge drops ([[Deletes.purge]]).
     */
-  private final class MergeIterator(
+  private[index] final class MergeIterator(
       rows: Iterator[PostingBlock],
       avgdl: Double,
-      buckets: Int) extends Iterator[PostingBlock] {
+      buckets: Int,
+      deleted: Array[Long] = Array.emptyLongArray) extends Iterator[PostingBlock] {
 
     private val pending = new java.util.ArrayDeque[PostingBlock](4)
     private var acc: Blocks.Accumulator = _
@@ -109,7 +111,9 @@ object Compaction {
         val d = Blocks.decode(b)
         var i = 0
         while (i < d.docs.length) {
-          acc.add(d.docs(i), d.tfs(i), d.dls(i)).foreach(pending.add)
+          if (deleted.length == 0 ||
+              java.util.Arrays.binarySearch(deleted, d.docs(i)) < 0)
+            acc.add(d.docs(i), d.tfs(i), d.dls(i)).foreach(pending.add)
           i += 1
         }
       }

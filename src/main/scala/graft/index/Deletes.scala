@@ -1,0 +1,180 @@
+package graft.index
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Blocks
+import graft.io.{Catalog, Fs}
+import graft.io.Catalog.IndexPaths
+import graft.model.DictEntry
+import graft.search.Booleans
+
+/** ES `_delete_by_query` + Lucene soft-deletes for the inverted index.
+  *
+  * Semantics mirror Elasticsearch/Lucene exactly:
+  *   - A delete writes docIDs into a tombstone set (`root/deletes`, a tiny
+  *     parquet published through the same atomic version-pointer protocol as
+  *     the other index artifacts). Postings, dictionary, and corpus stats
+  *     are untouched — deleted docs STILL count in df/N/avgdl, so surviving
+  *     docs' BM25 scores do not move (Lucene keeps deleted docs in stats
+  *     until segments merge).
+  *   - Query time: the scorer excludes tombstoned docs at evaluation — an
+  *     exact filter like search_after, so every WAND skip stays θ-driven and
+  *     rank-safe. Tombstones shuffle into the same docID-range shards as the
+  *     posting blocks (cogroup), so no global broadcast of the delete set is
+  *     ever needed on the query path.
+  *   - [[purge]] is the merge that expunges deletes: postings rewritten
+  *     without the tombstoned docs, dictionary df/cf and corpus stats
+  *     (N, total_tokens, avgdl) recomputed over live docs only, block-max
+  *     bounds re-derived against the new avgdl, tombstones cleared. After a
+  *     purge the index is bit-identical in query behavior to one freshly
+  *     built over the live corpus (DeletesSpec pins this).
+  *
+  * Purge publish order is the rank-safety story: meta flips to
+  * `incremental=true` FIRST, forcing robust bounds — which recompute from
+  * (max_tf, min_dl) against the READER's current avgdl, making bound and
+  * score self-consistent for any old/new artifact mix a concurrent reader
+  * can observe — then postings → stats → dictionary land, and only then does
+  * the final meta re-enable exact stored bounds (safe: any reader that sees
+  * the final meta resolves every later pointer to the new generation).
+  * Tombstones clear last: mid-purge readers keep excluding against the old
+  * postings (correct) and the exclusion is a no-op against the new.
+  */
+object Deletes {
+
+  /** The live tombstoned docIDs (empty if none). */
+  def read(spark: SparkSession, paths: IndexPaths): Array[Long] = {
+    import spark.implicits._
+    if (!Fs.exists(paths.deletes)) Array.emptyLongArray
+    else spark.read.parquet(paths.deletes)
+      .select($"doc_id").as[Long].collect().sorted
+  }
+
+  def hasDeletes(paths: IndexPaths): Boolean = Fs.exists(paths.deletes)
+
+  /** ES `_delete_by_query` with a match-any (OR) query over the analyzed
+    * terms: tombstone every doc containing any of them. Idempotent (set
+    * union); returns the live tombstone count after the merge.
+    */
+  def deleteByQuery(spark: SparkSession, root: String, rawTerms: Seq[String]): Long = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val terms = graft.core.QueryModel.analyzedTerms(rawTerms)
+    if (terms.isEmpty) return if (hasDeletes(paths)) spark.read.parquet(paths.deletes).count() else 0L
+    val matched = Booleans.or(spark, root, terms)
+    val merged =
+      if (hasDeletes(paths)) matched.union(spark.read.parquet(paths.deletes)).distinct()
+      else matched
+    val staging = s"${paths.deletesBase}_staging"
+    merged.select($"doc_id").write.mode(SaveMode.Overwrite).parquet(staging)
+    Fs.publishVersion(paths.deletesBase, staging)
+    spark.read.parquet(paths.deletes).count()
+  }
+
+  /** Expunge-deletes merge (the Lucene forceMerge analog): rewrite the index
+    * without the tombstoned docs and recompute every statistic over the live
+    * corpus. One postings pass for the deleted docs' lengths (block-range
+    * pre-filter pushed to the scan, so only row groups whose docID range can
+    * intersect the delete set are read), one merge pass to rewrite.
+    *
+    * The delete set is collected + broadcast: tombstones are a small
+    * fraction of the corpus in steady state (ES refuses >10k-deep from/size
+    * for the same reason — pathology needs a different tool). A delete set
+    * too large to broadcast means most of the corpus is dead and the right
+    * operation is a rebuild over the live docs, which this degenerates to.
+    *
+    * Limitation (documented): tombstones for docs with NO postings (empty
+    * text) are not counted out of N/avgdl — `deleteByQuery` can never
+    * produce one (an empty doc matches no term).
+    */
+  def purge(spark: SparkSession, root: String): Unit = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    if (!Fs.exists(paths.postings)) return
+    val deleted = read(spark, paths)
+    if (deleted.isEmpty) return
+    val bcDel = spark.sparkContext.broadcast(deleted)
+    val oldStats = Catalog.readCorpusStats(spark, paths)
+    val meta = Indexer.readMeta(spark, root)
+
+    // pass A: per-doc lengths of the tombstoned docs still present in the
+    // postings (dl repeats identically across a doc's terms → distinct).
+    // Coarse docID-range prune runs in the scan; exact membership inside.
+    val (minDel, maxDel) = (deleted.head, deleted.last)
+    val delRow = Catalog.readPostings(spark, paths)
+      .filter($"last_doc" >= minDel && $"first_doc" <= maxDel)
+      .flatMap { b =>
+        val del = bcDel.value
+        val ins = {
+          val i = java.util.Arrays.binarySearch(del, b.first_doc)
+          if (i >= 0) i else -i - 1
+        }
+        if (ins >= del.length || del(ins) > b.last_doc) Iterator.empty
+        else {
+          val d = Blocks.decode(b)
+          (0 until d.docs.length).iterator
+            .filter(i => java.util.Arrays.binarySearch(del, d.docs(i)) >= 0)
+            .map(i => (d.docs(i), d.dls(i).toLong))
+        }
+      }
+      .toDF("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("toks"))
+      .head()
+    val (delDocs, delTokens) = (delRow.getLong(0), delRow.getLong(1))
+    val nDocs = oldStats.n_docs - delDocs
+    val totalTokens = oldStats.total_tokens - delTokens
+    val avgdl = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
+
+    // transition meta: robust bounds are self-consistent against any mix of
+    // old/new postings and stats a concurrent reader can resolve mid-purge
+    publishMeta(spark, paths, meta.copy(incremental = true))
+
+    // merge pass: drop tombstoned docs, re-encode full blocks, bounds
+    // against the LIVE avgdl
+    val postingsNew = s"${paths.postingsBase}_staging"
+    Catalog.readPostings(spark, paths)
+      .repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"term", $"first_doc")
+      .mapPartitions(rows =>
+        new Compaction.MergeIterator(rows, avgdl, meta.buckets, bcDel.value))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(postingsNew)
+    Fs.publishVersion(paths.postingsBase, postingsNew)
+
+    val statsNew = s"${paths.corpusStatsBase}_staging"
+    Seq(graft.model.CorpusStats(nDocs, totalTokens, avgdl)).toDS()
+      .write.mode(SaveMode.Overwrite).parquet(statsNew)
+    Fs.publishVersion(paths.corpusStatsBase, statsNew)
+
+    // dictionary over live postings only (terms whose docs all died vanish);
+    // keyword `field:value` postings stay out, as in Compaction
+    val dictNew = s"${paths.dictionaryBase}_staging"
+    spark.read.parquet(paths.postings)
+      .filter(!$"term".contains(":"))
+      .groupBy($"term")
+      .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
+        max($"max_tf_norm").as("max_tf_norm"))
+      .select($"term", $"df", $"cf", $"max_tf_norm").as[DictEntry]
+      .write.mode(SaveMode.Overwrite).parquet(dictNew)
+    Fs.publishVersion(paths.dictionaryBase, dictNew)
+
+    // exact stored bounds are trustworthy again (fresh against live avgdl)
+    publishMeta(spark, paths, meta.copy(incremental = false))
+
+    // clear tombstones LAST (no-op against the new postings; still correct
+    // against the old for in-flight readers)
+    val emptyNew = s"${paths.deletesBase}_staging"
+    spark.emptyDataset[Long].toDF("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(emptyNew)
+    Fs.publishVersion(paths.deletesBase, emptyNew)
+    bcDel.destroy()
+  }
+
+  private def publishMeta(spark: SparkSession, paths: IndexPaths, m: IndexMeta): Unit = {
+    import spark.implicits._
+    val staging = s"${paths.metaBase}_staging"
+    Seq(m).toDS().write.mode(SaveMode.Overwrite).parquet(staging)
+    Fs.publishVersion(paths.metaBase, staging)
+  }
+}

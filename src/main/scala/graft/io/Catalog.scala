@@ -36,6 +36,8 @@ object Catalog {
     def corpusStats: String = Fs.resolveVersioned(corpusStatsBase)
     def metaBase: String = s"$root/meta"
     def meta: String = Fs.resolveVersioned(metaBase)
+    def deletesBase: String = s"$root/deletes"
+    def deletes: String = Fs.resolveVersioned(deletesBase)
     def docidMap: String = s"$root/docid_map"
     def manifests: String = s"$root/manifests"
     def metrics: String = s"$root/metrics"

@@ -238,16 +238,11 @@ object SearchEngine {
     // robust bounds are mandatory there, independent of the caller's flag
     val robust = robustBounds || meta.incremental
 
-    queryPostings(spark, paths, qm.terms.toSeq ++ filterTerms, meta.buckets)
-      .flatMap { b =>
-        // a ≤128-doc block rarely spans more than one width-sized shard
-        ((b.first_doc / width) to (b.last_doc / width)).iterator
-          .map(s => (s.toInt, b))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
+    // per-shard scorer, shared by the plain and tombstone-aware plans below
+    val scoreGroup: (Int, Iterator[PostingBlock], Array[Long]) => Iterator[Hit] =
+      (shard, it, deleted) => {
         val qmv = bcQm.value
-        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+        val byTerm = it.toArray.groupBy(_.term)
         // a shard missing any filter term's postings holds no matching docs
         if (!filterTerms.forall(byTerm.contains)) Iterator.empty
         else {
@@ -274,9 +269,40 @@ object SearchEngine {
             ti += 1
           }
           Wand.scoreShard(cursors.toArray, lo, qmv.k, minMatch, afterScore,
-            afterDoc, req.toArray).iterator
+            afterDoc, req.toArray, deleted).iterator
         }
       }
+
+    val blocksByShard = queryPostings(spark, paths,
+        qm.terms.toSeq ++ filterTerms, meta.buckets)
+      .flatMap { b =>
+        // a ≤128-doc block rarely spans more than one width-sized shard
+        ((b.first_doc / width) to (b.last_doc / width)).iterator
+          .map(s => (s.toInt, b))
+      }
+      .groupByKey(_._1)
+
+    val hits =
+      if (!graft.index.Deletes.hasDeletes(paths))
+        blocksByShard.flatMapGroups((shard, it) =>
+          scoreGroup(shard, it.map(_._2), null))
+      else {
+        // soft-deletes live: tombstones shuffle into the SAME docID-range
+        // shards as the blocks (cogroup) — each shard excludes against its
+        // own slice of the delete set, no global broadcast
+        val delsByShard = spark.read.parquet(paths.deletes)
+          .select($"doc_id").as[Long]
+          .map(d => ((d / width).toInt, d))
+          .groupByKey(_._1)
+        blocksByShard.cogroup(delsByShard) { (shard, blockIt, delIt) =>
+          val deleted = delIt.map(_._2).toArray
+          java.util.Arrays.sort(deleted)
+          scoreGroup(shard, blockIt.map(_._2),
+            if (deleted.isEmpty) null else deleted)
+        }
+      }
+
+    hits
       .toDF()
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)

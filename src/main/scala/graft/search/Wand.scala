@@ -182,12 +182,18 @@ object Wand {
     * cursors on the pivot. A required cursor exhausting ends the shard.
     * Required matches do NOT count toward `minMatch` (mm is a predicate on
     * the scored should-clauses, as in ES).
+    *
+    * `deleted` (Lucene live-docs): a sorted tombstone array for THIS shard's
+    * docID range; tombstoned docs are rejected at evaluation (exact filter,
+    * like `after`), never by a bound — rank-safe, and scoring stats stay
+    * those of the full index until [[graft.index.Deletes.purge]], as in ES.
     */
   def scoreShard(cursors: Array[TermCursor], lo: Long, k: Int,
       minMatch: Int = 1,
       afterScore: Double = Double.PositiveInfinity,
       afterDoc: Long = -1L,
-      required: Array[Boolean] = null): Seq[Hit] = {
+      required: Array[Boolean] = null,
+      deleted: Array[Long] = null): Seq[Hit] = {
     if (required != null) {
       var i = 0
       while (i < cursors.length) { cursors(i).required = required(i); i += 1 }
@@ -304,7 +310,11 @@ object Wand {
                 }
                 t += 1
               }
+              // tombstone exclusion (Deletes): exact filter at evaluation,
+              // like `after` — θ-driven skips are unaffected, so rank-safe
               if (matched >= minMatch &&
+                  (deleted == null ||
+                    java.util.Arrays.binarySearch(deleted, pivot) < 0) &&
                   (sc < afterScore || (sc == afterScore && pivot > afterDoc)))
                 heap.offer(pivot, sc)
               t = 0

@@ -1,0 +1,92 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexCache, TestSpark}
+import graft.io.{Catalog, Fs}
+import graft.io.Catalog.IndexPaths
+import graft.search.SearchEngine
+
+/** Delete-by-query semantics pins (ES/Lucene parity).
+  *
+  * Soft-delete phase: deleted docs leave the results; every surviving score
+  * is UNCHANGED (stats still count deleted docs, as Lucene until merge).
+  * Purge phase: the index becomes query-identical to one freshly built over
+  * the live corpus — stats, dictionary, bounds, everything.
+  */
+class DeletesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+  private val q = Seq("join", "window", "vector")
+  private val delTerm = "stream"
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("soft delete: tombstoned docs excluded, surviving scores unchanged") {
+    val clean = IndexCache.documentsIndex(spark, sfDir)
+    val del = IndexCache.deletedIndex(spark, sfDir, Seq(delTerm))
+    val paths = IndexPaths(del.paths.root)
+    val tombstones = Deletes.read(spark, paths)
+    assert(tombstones.nonEmpty, "delete query must match some docs")
+
+    // reference: top-(k+D) of the clean index minus tombstones, truncated —
+    // exact because removing D docs promotes at most D
+    val k = 10
+    val ref = hits(SearchEngine.topKWandRounded(
+        spark, clean.paths.root, q, k + tombstones.length))
+      .filterNot { case (d, _) => tombstones.contains(d) }
+      .take(k)
+    val got = hits(SearchEngine.topKWandRounded(spark, paths.root, q, k))
+    assert(got == ref, "soft-deleted ranking must equal clean ranking minus tombstones")
+    assert(got.map(_._1).toSet.intersect(tombstones.toSet).isEmpty)
+    // stats untouched during the soft phase
+    assert(Catalog.readCorpusStats(spark, paths) == clean.stats)
+  }
+
+  test("deleteByQuery is idempotent (tombstone set union)") {
+    val del = IndexCache.deletedIndex(spark, sfDir, Seq(delTerm))
+    val n1 = Deletes.read(spark, IndexPaths(del.paths.root)).length
+    val n2 = Deletes.deleteByQuery(spark, del.paths.root, Seq(delTerm))
+    assert(n1.toLong == n2, "re-deleting the same query must not grow the set")
+  }
+
+  test("purge: query-identical to an index freshly built over the live corpus") {
+    import spark.implicits._
+    val purged = IndexCache.purgedIndex(spark, sfDir, Seq(delTerm))
+    val paths = IndexPaths(purged.paths.root)
+
+    // a fresh build over exactly the live docs (dt local: the typed filter
+    // closure must not capture the non-serializable suite)
+    val dt = delTerm
+    val live = Catalog.readDocuments(spark, sfDir)
+      .filter(d => !graft.core.Analyzer.tokenize(d.text).contains(dt))
+    val freshRoot = s"/tmp/graft-deletes-spec-${java.util.UUID.randomUUID().toString.take(8)}"
+    val fresh = Indexer.buildFromDocs(live, freshRoot,
+      buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+    try {
+      val got = hits(SearchEngine.topKWandRounded(spark, paths.root, q, 10))
+      val want = hits(SearchEngine.topKWandRounded(spark, fresh.paths.root, q, 10))
+      assert(got == want, "purged index must score exactly like a live-only rebuild")
+
+      // stats recomputed over live docs (doc_id_space unchanged by design)
+      val ps = Catalog.readCorpusStats(spark, paths)
+      val fs = Catalog.readCorpusStats(spark, IndexPaths(freshRoot))
+      assert(ps.n_docs == fs.n_docs && ps.total_tokens == fs.total_tokens)
+      assert(math.abs(ps.avgdl - fs.avgdl) < 1e-12)
+
+      // every doc of the deleted term is gone: its postings and dictionary
+      // row vanish, and querying it returns nothing
+      val dictTerms = Catalog.readDictionary(spark, paths)
+        .filter($"term" === delTerm).count()
+      assert(dictTerms == 0, "fully-deleted term must leave the dictionary")
+      assert(SearchEngine.topKWandRounded(spark, paths.root, Seq(delTerm), 10).isEmpty)
+
+      // tombstones cleared; exact bounds trusted again
+      assert(Deletes.read(spark, paths).isEmpty)
+      assert(!Indexer.readMeta(spark, paths.root).incremental)
+    } finally Fs.delete(freshRoot)
+  }
+}
