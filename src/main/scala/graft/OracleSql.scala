@@ -74,6 +74,119 @@ object OracleSql {
        |JOIN documents d USING (doc_id)
        |ORDER BY t.score_r4 DESC, t.doc_id""".stripMargin
 
+  /** ES `more_like_this` twin (semantics pinned in search/MoreLikeThis.scala):
+    * seed-doc terms with tf ≥ minTf and df ≥ minDf ranked by tf·idf, top
+    * maxTerms become a BM25 disjunction; seed excluded from results.
+    */
+  def moreLikeThis(seedDoc: Long, k: Int, maxTerms: Int,
+      minTf: Int, minDf: Int): String = {
+    val idf = "ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))"
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), qterms AS (
+       |  SELECT s.term, $idf AS idf
+       |  FROM (SELECT term, tf FROM tf WHERE doc_id = $seedDoc AND tf >= $minTf) s
+       |  JOIN dfs USING (term) CROSS JOIN stats
+       |  WHERE dfs.df >= $minDf
+       |  ORDER BY s.tf * $idf DESC, s.term ASC LIMIT $maxTerms
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         q.idf *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN qterms q USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+       |)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib WHERE doc_id <> $seedDoc
+       |GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** ES wildcard twin: docs containing any indexed term matching the
+    * translated pattern (same `*`/`?` translation as TermQueries.wildcard).
+    */
+  def wildcardDocs(pattern: String): String = {
+    val rx = pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString("^", "", "$")
+    s"""SELECT DISTINCT doc_id
+       |FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |WHERE regexp_matches(term, '$rx')
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** ES `significant_terms` (JLH) twin — semantics pinned in
+    * search/Aggregations.scala.
+    */
+  def significantTerms(fgTerm: String, topN: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), dterm AS (
+       |  SELECT DISTINCT doc_id, term FROM tok
+       |), fg AS (
+       |  SELECT DISTINCT doc_id FROM tok WHERE term = '$fgTerm'
+       |), consts AS (
+       |  SELECT (SELECT count(*) FROM fg) AS fg_size,
+       |         (SELECT count(*) FROM documents) AS n_docs
+       |), fgdf AS (
+       |  SELECT term, count(*) AS fg_df FROM dterm JOIN fg USING (doc_id)
+       |  GROUP BY term
+       |), bgdf AS (
+       |  SELECT term, count(*) AS df FROM dterm GROUP BY term
+       |), j AS (
+       |  SELECT term,
+       |    (fg_df * 1.0 / fg_size - df * 1.0 / n_docs) *
+       |    ((fg_df * 1.0 / fg_size) / (df * 1.0 / n_docs)) AS jlh
+       |  FROM fgdf JOIN bgdf USING (term) CROSS JOIN consts
+       |  WHERE fg_df * 1.0 / fg_size > df * 1.0 / n_docs
+       |)
+       |SELECT term, round(jlh, 6) AS jlh_r6 FROM j
+       |ORDER BY jlh DESC, term ASC LIMIT $topN""".stripMargin
+
+  /** ES `top_hits`-under-terms-agg twin: per-source best hits, ranks on
+    * 4dp-rounded scores (pinned in search/Aggregations.scala).
+    */
+  def topHitsByFacet(terms: Seq[String], perBucket: Int): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+       |), scores AS (
+       |  SELECT doc_id, round(sum(c), 4) AS score_r4 FROM contrib GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT d.source, s.doc_id, s.score_r4,
+       |         row_number() OVER (PARTITION BY d.source
+       |           ORDER BY s.score_r4 DESC, s.doc_id ASC) AS bucket_rank
+       |  FROM scores s JOIN documents d USING (doc_id)
+       |)
+       |SELECT source, bucket_rank, doc_id, score_r4 FROM ranked
+       |WHERE bucket_rank <= $perBucket
+       |ORDER BY source, bucket_rank""".stripMargin
+  }
+
   /** ES `_explain` analog: per-term BM25 contribution rows for the top-k. */
   def bm25Explain(terms: Seq[String], k: Int): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
 import graft.operators.{Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
-import graft.search.{Booleans, BruteForce, SearchEngine}
+import graft.search.{Aggregations, Booleans, BruteForce, MoreLikeThis, SearchEngine, TermQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -104,6 +104,28 @@ object SparkEntry {
       IndexCache.keywordField(s, dir, "source")
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
+    }),
+    // ES significant_terms (JLH): terms overrepresented in 'join' docs
+    "sig_terms" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Aggregations.significantTerms(s, idx.paths.root, dir, "join", 10)
+    }),
+    // ES top_hits under a terms agg: best 3 hits per source facet
+    "top_hits_facet" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Aggregations.topHitsByFacet(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), 3)
+    }),
+    // ES more_like_this: seed doc 0's top tf·idf terms -> scored disjunction
+    "bm25_mlt" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      MoreLikeThis.topK(s, idx.paths.root, dir, seedDoc = 0L, k = K,
+        maxQueryTerms = 5, minTermFreq = 1, minDocFreq = 2)
+    }),
+    // ES wildcard query (unscored filter context, dictionary-expanded)
+    "query_wildcard" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      TermQueries.wildcard(s, idx.paths.root, "*or*")
     }),
     // ES _delete_by_query, soft-delete phase: tombstoned docs excluded from
     // results, surviving scores UNCHANGED (full-corpus stats, as in Lucene
@@ -281,6 +303,11 @@ object SparkEntry {
     "bm25_filtered" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("source = 'src3'")),
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
+    "sig_terms" -> OracleSql.significantTerms("join", 10),
+    "top_hits_facet" -> OracleSql.topHitsByFacet(Seq("join", "window", "vector"), 3),
+    "bm25_mlt" -> OracleSql.moreLikeThis(seedDoc = 0L, k = K, maxTerms = 5,
+      minTf = 1, minDf = 2),
+    "query_wildcard" -> OracleSql.wildcardDocs("*or*"),
     "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),
     "bm25_purged" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,

@@ -61,9 +61,21 @@ object SearchEngine {
   def topKExhaustive(spark: SparkSession, root: String, rawTerms: Seq[String],
       k: Int): DataFrame = {
     import spark.implicits._
+    scoreAllDocs(spark, root, rawTerms)
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  /** Per-doc BM25 score for EVERY doc matching any query term — no top-k
+    * cut. Feeds the exhaustive shadow and per-bucket aggregations
+    * (Aggregations.topHitsByFacet), where the cut happens per group.
+    */
+  def scoreAllDocs(spark: SparkSession, root: String,
+      rawTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
-    val qm = queryModel(spark, paths, rawTerms, k)
+    val qm = queryModel(spark, paths, rawTerms, 1)
     if (qm.isEmpty) return emptyHits(spark)
     val bcQm = spark.sparkContext.broadcast(qm)
 
@@ -97,8 +109,6 @@ object SearchEngine {
         Hit(docId, s)
       }
       .toDF()
-      .orderBy($"score".desc, $"doc_id".asc)
-      .limit(k)
   }
 
   /** Driver-contract shape: rounded scores (see BruteForce.topKRounded). */
@@ -365,6 +375,11 @@ object SearchEngine {
       .toDF("doc_id", "term", "contrib")
       .select($"doc_id", $"term", round($"contrib", 6).as("contrib_r6"))
       .orderBy($"doc_id", $"term")
+  }
+
+  private[search] def emptyRounded(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Double)].toDF("doc_id", "score_r4")
   }
 
   private[search] def emptyHits(spark: SparkSession): DataFrame = {

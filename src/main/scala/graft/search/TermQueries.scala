@@ -59,6 +59,29 @@ object TermQueries {
     docsOfAny(spark, root, expanded)
   }
 
+  /** ES wildcard query: `*` = any sequence, `?` = one char, matched against
+    * the dictionary (all other characters literal), then the single
+    * bucket-pruned disjunction scan. Like ES, a leading wildcard is legal
+    * but pays a full dictionary pass — the dictionary, not the corpus.
+    */
+  def wildcard(spark: SparkSession, root: String, pattern: String,
+      maxExpansions: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val rx = pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString("^", "", "$")
+    val expanded = Catalog.readDictionary(spark, IndexPaths(root))
+      .toDF()
+      .filter($"term".rlike(rx))
+      .orderBy($"term")
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+    docsOfAny(spark, root, expanded)
+  }
+
   /** ES fuzzy query: dictionary term expansion within `maxDist` edits
     * (capped at `maxExpansions`, term-ordered — ES's max_expansions), then
     * the single bucket-pruned disjunction scan.
