@@ -573,6 +573,42 @@ object OracleSql {
        |        * (1.0 - len(list_filter(t, x -> x = 'the' OR x = 'a')) * 1.0 / len(t)), 6) AS quality_r6
        |FROM ($toksrc) ORDER BY doc_id""".stripMargin
 
+  /** Curation funnel twin (rule order pinned in operators/Curation.scala). */
+  def curationFunnel(minTokens: Long, minQuality: Double): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop,
+       |    len(list_filter(list_distinct(t), x -> x IN ('the', 'a', 'of', 'and'))) AS n_en,
+       |    len(list_filter(list_distinct(t), x -> x IN ('el', 'la', 'de', 'los'))) AS n_es
+       |  FROM (SELECT doc_id, text, ${toks("text")} AS t FROM documents)),
+       |c AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM f),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < $minTokens THEN 'too_short'
+       |         WHEN least(n_tokens * 1.0 / 100.0, 1.0)
+       |              * (1.0 - n_stop * 1.0 / n_tokens) < $minQuality THEN 'low_quality'
+       |         WHEN (CASE WHEN n_en >= n_es AND n_en > 0 THEN 'en'
+       |                    WHEN n_es > 0 THEN 'es' ELSE 'und' END) <> 'en' THEN 'lang'
+       |         WHEN doc_id <> canon THEN 'exact_dup'
+       |         ELSE 'kept' END AS reason
+       |  FROM c)
+       |SELECT doc_id, reason = 'kept' AS keep, reason FROM v ORDER BY doc_id""".stripMargin
+
+  /** Token-budget packing twin: pack_id = exclusive prefix tokens / budget
+    * in doc_id order (semantics pinned in operators/Curation.scala).
+    */
+  def packSequences(budget: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(pre // $budget AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val tokenCounts: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,

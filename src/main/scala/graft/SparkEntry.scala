@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
-import graft.operators.{Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
+import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
 import graft.search.{Aggregations, Booleans, BruteForce, MoreLikeThis, SearchEngine, TermQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -232,6 +232,10 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "winnow_fingerprint" -> ((s, dir) => TextAnalysis.winnowFingerprint(s, dir)),
+    // composed curation verdicts: first failing rule wins (audit-ready)
+    "curation_funnel" -> ((s, dir) => Curation.funnel(s, dir)),
+    // token-budget sharding: two-pass distributed prefix sum, no global window
+    "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir, 2048L)),
     // --- training-data pipeline: similarity search ---------------------------
     "emb_cosine_topk" -> ((s, dir) => Embeddings.cosineTopK(s, dir, 0L, K)),
     "ann_lsh_topk" -> ((s, dir) =>
@@ -343,6 +347,8 @@ object SparkEntry {
     "quality_score" -> OracleSql.qualityScore,
     "token_counts" -> OracleSql.tokenCounts,
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
+    "curation_funnel" -> OracleSql.curationFunnel(30L, 0.45),
+    "pack_sequences" -> OracleSql.packSequences(2048L),
     "emb_cosine_topk" -> OracleSql.embCosineTopK(0L, K),
     "ann_lsh_topk" -> OracleSql.annLshTopK(0L, K),
     "dedup_emb_cosine" -> OracleSql.embCosinePairs(0.4),

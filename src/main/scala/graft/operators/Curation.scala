@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Analyzer
+import graft.io.Catalog
+
+/** Corpus-curation composition operators for training-data pipelines:
+  * the keep/reject funnel and token-budget sequence packing.
+  */
+object Curation {
+
+  /** The curation funnel: one verdict per document from the standard
+    * pre-training filter chain, first failing rule wins (fixed order —
+    * deterministic and auditable):
+    *
+    *   1. too_short   — analyzed token count < minTokens
+    *   2. low_quality — composite quality (TextAnalysis.qualityScore
+    *                    semantics: length-saturating × non-stopword mass)
+    *                    below `minQuality`
+    *   3. lang        — marker-heuristic language != 'en'
+    *                    (TextAnalysis.langId semantics)
+    *   4. exact_dup   — not the min-doc_id canonical of its exact text group
+    *
+    * One narrow tokenize pass for rules 1–3; rule 4 is the one shuffle
+    * (window over md5(text) — the exact-dedup hash exchange). Scale: both
+    * are the shapes the standalone operators already run at corpus size.
+    */
+  def funnel(spark: SparkSession, sfDir: String,
+      minTokens: Long = 30L, minQuality: Double = 0.45): DataFrame = {
+    import spark.implicits._
+    val feats = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", $"text", Analyzer.tokensCol($"text").as("t"))
+      .select($"doc_id", $"text",
+        size($"t").cast("long").as("n_tokens"),
+        expr("size(filter(t, x -> x = 'the' OR x = 'a'))").cast("long").as("n_stop"),
+        size(expr("array_intersect(t, array('the', 'a', 'of', 'and'))")).as("n_en"),
+        size(expr("array_intersect(t, array('el', 'la', 'de', 'los'))")).as("n_es"))
+    val canonical = Window.partitionBy(md5($"text".cast("binary")))
+    val quality = least($"n_tokens" * lit(1.0) / 100.0, lit(1.0)) *
+      (lit(1.0) - $"n_stop" * lit(1.0) / $"n_tokens")
+    val lang = when($"n_en" >= $"n_es" && $"n_en" > 0, "en")
+      .when($"n_es" > 0, "es").otherwise("und")
+    feats
+      .withColumn("canon", min($"doc_id").over(canonical))
+      .select($"doc_id",
+        when($"n_tokens" < minTokens, "too_short")
+          .when(quality < minQuality, "low_quality")
+          .when(lang =!= "en", "lang")
+          .when($"doc_id" =!= $"canon", "exact_dup")
+          .otherwise("kept").as("reason"))
+      .select($"doc_id", ($"reason" === "kept").as("keep"), $"reason")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget sequence packing: documents in doc_id order are assigned
+    * to consecutive packs of `budget` analyzed tokens by their EXCLUSIVE
+    * running token offset — `pack_id = prefix_tokens / budget` — the
+    * deterministic sharding a trainer uses to cut a corpus into equal-token
+    * shards.
+    *
+    * Distributed as a two-pass prefix sum (the DocIds pattern): per-range
+    * token sums to the driver (P rows), broadcast offsets, then one ordered
+    * pass per range partition. No global window, no single-task sort.
+    */
+  def packSequences(spark: SparkSession, sfDir: String, budget: Long): DataFrame = {
+    import spark.implicits._
+    require(budget > 0)
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", size(Analyzer.tokensCol($"text")).cast("long").as("n_tokens"))
+    val maxRow = docs.agg(max($"doc_id")).head()
+    if (maxRow.isNullAt(0))
+      return spark.emptyDataset[(Long, Long, Long)].toDF("doc_id", "n_tokens", "pack_id")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val width = maxRow.getLong(0) / parts + 1
+
+    val withPart = docs.withColumn("__part", ($"doc_id" / width).cast("int"))
+    val perPart = withPart.groupBy($"__part")
+      .agg(sum($"n_tokens").as("toks")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    for (p <- 0 until parts) { offsets(p) = acc; acc += perPart.getOrElse(p, 0L) }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+
+    withPart
+      .repartition(parts, $"__part")
+      .sortWithinPartitions($"__part", $"doc_id")
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        val off = bcOff.value
+        var curPart = -1
+        var running = 0L
+        it.map { case (doc, n, p) =>
+          if (p != curPart) { curPart = p; running = off(p) }
+          val pack = running / budget // exclusive prefix, non-negative
+          running += n
+          (doc, n, pack)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "pack_id")
+      .orderBy($"doc_id")
+  }
+}
