@@ -30,6 +30,8 @@ object Bench {
     IndexCache.lshBucketsPath(spark, sfDir)            // ANN probes (planes=8)
     IndexCache.lshBucketsPath(spark, sfDir, planes = 4) // near-dup pairs
     IndexCache.keywordField(spark, sfDir, "source")    // filter postings
+    IndexCache.deletedIndex(spark, sfDir, Seq("stream")) // tombstoned variant
+    IndexCache.purgedIndex(spark, sfDir, Seq("stream"))  // expunge-merged variant
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)
