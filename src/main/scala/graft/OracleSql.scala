@@ -125,6 +125,29 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ES percolator twin: generated from the SAME stored-query set the
+    * engine registers (graft.search.Percolator.DriverQueries) so the two
+    * sides cannot drift.
+    */
+  def percolate(stored: Seq[graft.search.Percolator.StoredQuery]): String = {
+    val values = stored
+      .flatMap(q => q.terms.map(t => s"(${q.query_id}, '$t', ${q.minMatch})"))
+      .mkString(", ")
+    s"""WITH q AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term, mm
+       |  FROM (VALUES $values) t(query_id, term, mm)
+       |), dterm AS (
+       |  SELECT DISTINCT doc_id, term
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |), m AS (
+       |  SELECT d.doc_id, q.query_id, q.mm, count(*) AS n
+       |  FROM dterm d JOIN q USING (term)
+       |  GROUP BY d.doc_id, q.query_id, q.mm
+       |)
+       |SELECT doc_id, query_id FROM m WHERE n >= mm
+       |ORDER BY doc_id, query_id""".stripMargin
+  }
+
   /** ES `significant_terms` (JLH) twin — semantics pinned in
     * search/Aggregations.scala.
     */

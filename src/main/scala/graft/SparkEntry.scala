@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
 import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
-import graft.search.{Aggregations, Booleans, BruteForce, MoreLikeThis, SearchEngine, TermQueries}
+import graft.search.{Aggregations, Booleans, BruteForce, MoreLikeThis, Percolator, SearchEngine, TermQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -127,6 +127,10 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       TermQueries.wildcard(s, idx.paths.root, "*or*")
     }),
+    // ES percolator: stored queries matched against every incoming doc —
+    // one narrow broadcast pass, no shuffle (reverse search / alerting)
+    "percolate" -> ((s, dir) =>
+      Percolator.percolateTable(s, dir, Percolator.DriverQueries)),
     // ES _delete_by_query, soft-delete phase: tombstoned docs excluded from
     // results, surviving scores UNCHANGED (full-corpus stats, as in Lucene
     // until merge)
@@ -312,6 +316,7 @@ object SparkEntry {
     "bm25_mlt" -> OracleSql.moreLikeThis(seedDoc = 0L, k = K, maxTerms = 5,
       minTf = 1, minDf = 2),
     "query_wildcard" -> OracleSql.wildcardDocs("*or*"),
+    "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
     "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),
     "bm25_purged" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
