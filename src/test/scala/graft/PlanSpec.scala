@@ -72,6 +72,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"bucketing must not shuffle:\n${p.take(2000)}")
   }
 
+  test("pack_sequences has no global window and a single corpus scan") {
+    val p = plan(graft.operators.Curation.packSequences(spark, sfDir, 512L))
+    assert(!p.contains("Window"), s"packing must not use a global window:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"packing pass must scan the corpus once:\n${p.take(2000)}")
+  }
+
+  test("percolator core is shuffle-free (broadcast queries, narrow doc pass)") {
+    import spark.implicits._
+    val docs = io.Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+    val p = plan(graft.search.Percolator.percolateCore(docs,
+      graft.search.Percolator.DriverQueries))
+    assert(!p.contains("Exchange"), s"percolation must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"percolation must not join:\n${p.take(2000)}")
+  }
+
+  test("soft-deleted search keeps pushdown/pruning and adds only the tombstone exchange") {
+    val del = IndexCache.deletedIndex(spark, sfDir, Seq("stream"))
+    val plain = plan(SearchEngine.topKWand(spark, idx.paths.root, Seq("join", "window"), 10))
+    val p = plan(SearchEngine.topKWand(spark, del.paths.root, Seq("join", "window"), 10))
+    assert(p.contains("PushedFilters") && p.contains("term"),
+      s"tombstone path must keep term pushdown:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"))
+    def exchanges(s: String) = s.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(p) == exchanges(plain) + 1,
+      s"expected exactly one extra (tiny tombstone) exchange:\n${p.take(2000)}")
+  }
+
+  test("wildcard expansion scan is bucket-pruned with term pushdown") {
+    val p = plan(graft.search.TermQueries.wildcard(spark, idx.paths.root, "*or*"))
+    assert(p.contains("PushedFilters") && p.contains("term"),
+      s"expected expanded-term pushdown:\n${p.take(2000)}")
+    assert(p.contains("PartitionFilters") || p.contains("bucket#"),
+      s"expected bucket pruning:\n${p.take(2000)}")
+    assert(!p.contains("tfs_vb"), "wildcard is filter context: no tf/dl payload read")
+  }
+
   test("brute-force scorer stays in whole-stage codegen (no UDFs)") {
     val df = graft.search.BruteForce.topK(
       io.Catalog.readDocuments(spark, sfDir).toDF(), Seq("join", "window"), 10)
