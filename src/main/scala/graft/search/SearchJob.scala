@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   * Query terms accept ES boost syntax (`join^2.5`). All flags compose on the
   * wand path; exhaustive mode rejects wand-only flags instead of dropping
   * them silently.
+  *
+  * Round-3 modes: `--mode wildcard` treats --query as an ES `*`/`?` pattern
+  * (unscored doc set); `--mode mlt` runs more_like_this for seed doc
+  * `--seed ID` read from `--corpus DIR` (the hydration corpus); `--explain`
+  * (wand only) prints the per-term score breakdown of the top-k instead of
+  * the hits (ES `_explain`).
   * }}}
   */
 object SearchJob {
@@ -34,7 +40,10 @@ object SearchJob {
       minMatch: Int = 1,
       from: Int = 0,
       after: Option[(Double, Long)] = None,
-      filters: Seq[String] = Nil)
+      filters: Seq[String] = Nil,
+      explain: Boolean = false,
+      corpus: String = "",
+      seed: Long = -1L)
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -55,14 +64,22 @@ object SearchJob {
         // repeatable: `--filter role:assistant --filter tool:bash` (keyword
         // postings previously indexed by KeywordIndex.add)
         case "--filter" => a = a.copy(filters = a.filters :+ argv(i + 1)); i += 2
+        case "--explain" => a = a.copy(explain = true); i += 1
+        case "--corpus" => a = a.copy(corpus = argv(i + 1)); i += 2
+        case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
-    require(a.index.nonEmpty && a.query.nonEmpty, "--index and --query are required")
+    require(a.index.nonEmpty, "--index is required")
+    require(a.query.nonEmpty || a.mode == "mlt", "--query is required")
     require(a.from == 0 || a.after.isEmpty, "--from and --after are mutually exclusive")
     require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 &&
-      !a.robustBounds && a.filters.isEmpty),
-      "--from/--after/--min-match/--robust-bounds/--filter require --mode wand")
+      !a.robustBounds && a.filters.isEmpty && !a.explain),
+      "--from/--after/--min-match/--robust-bounds/--filter/--explain require --mode wand")
+    require(a.mode != "mlt" || (a.corpus.nonEmpty && a.seed >= 0),
+      "--mode mlt requires --corpus and --seed")
+    require(!a.explain || (a.from == 0 && a.after.isEmpty),
+      "--explain reports the plain top-k; drop --from/--after")
     a
   }
 
@@ -72,8 +89,10 @@ object SearchJob {
     if (!sys.props.contains("spark.master")) b.master("local[*]")
     val spark = b.config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val terms = a.query.split("\\s+").toSeq
+    val terms = a.query.split("\\s+").toSeq.filter(_.nonEmpty)
     val hits = a.mode match {
+      case "wand" if a.explain =>
+        SearchEngine.explainTopK(spark, a.index, terms, a.k)
       case "wand" if a.from > 0 =>
         SearchEngine.topKFromSize(spark, a.index, terms, a.from, a.k,
           minMatch = a.minMatch, robustBounds = a.robustBounds)
@@ -82,6 +101,8 @@ object SearchJob {
           robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after,
           filters = a.filters)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
+      case "wildcard" => TermQueries.wildcard(spark, a.index, a.query.trim)
+      case "mlt" => MoreLikeThis.topK(spark, a.index, a.corpus, a.seed, a.k)
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }
     val out = if (a.hydrate) SearchEngine.hydrate(spark, a.index, hits) else hits
