@@ -6,14 +6,17 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * spark-submit --class graft.index.AdminJob <jar> \
-  *   --index <index root> (--delete-query "terms" | --purge | --compact)
+  *   --index <index root> \
+  *   (--delete-query "terms" | --purge | --compact | --snapshot DIR | --restore DIR)
   * }}}
   *
   * `--delete-query` tombstones every doc matching any of the analyzed terms
   * (ES `_delete_by_query`; soft — stats and postings untouched, queries
   * exclude immediately). `--purge` is the expunge merge
   * ([[Deletes.purge]]). `--compact` is the segment merge
-  * ([[Compaction.compact]]). Operations run in the given order, so
+  * ([[Compaction.compact]]). `--snapshot DIR` copies the currently-resolved
+  * artifact generations + fingerprint manifest; `--restore DIR` publishes
+  * them back atomically ([[Snapshots]]). Operations run in the given order, so
   * `--delete-query "..." --purge` is delete-and-expunge in one submit.
   */
 object AdminJob {
@@ -28,6 +31,8 @@ object AdminJob {
         case "--delete-query" => ops += (("delete", argv(i + 1))); i += 2
         case "--purge" => ops += (("purge", "")); i += 1
         case "--compact" => ops += (("compact", "")); i += 1
+        case "--snapshot" => ops += (("snapshot", argv(i + 1))); i += 2
+        case "--restore" => ops += (("restore", argv(i + 1))); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -48,6 +53,12 @@ object AdminJob {
       case ("compact", _) =>
         Compaction.compact(spark, index)
         println(s"""{"op":"compact","done":true}""")
+      case ("snapshot", dir) =>
+        val fps = Snapshots.create(spark, index, dir)
+        println(s"""{"op":"snapshot","dir":"$dir","artifacts":${fps.size}}""")
+      case ("restore", dir) =>
+        Snapshots.restore(spark, dir, index)
+        println(s"""{"op":"restore","dir":"$dir","done":true}""")
     }
     spark.stop()
   }

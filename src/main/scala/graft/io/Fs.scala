@@ -96,6 +96,14 @@ object Fs {
     if (n > 2) fs.delete(new Path(s"${base}_v${n - 2}"), true): Unit
   }
 
+  /** Recursive directory copy through the FileSystem API (snapshots). */
+  def copyDir(src: String, dst: String): Unit = {
+    val (sfs, sp) = fsOf(src)
+    val (dfs, dp) = fsOf(dst)
+    if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf()))
+      throw new java.io.IOException(s"copy $src -> $dst failed")
+  }
+
   /** Recursive data-file listing: (path, length, mtime) for every file not
     * starting with `_` or `.` (Spark markers/hidden), sorted by path.
     */

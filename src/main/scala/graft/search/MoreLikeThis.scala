@@ -28,7 +28,13 @@ object MoreLikeThis {
     import spark.implicits._
     val paths = IndexPaths(root)
 
-    val seedText = Catalog.readDocuments(spark, sfDir)
+    // seed source: the sfDir documents table, or — when none is given — the
+    // index's OWN numbered corpus (transcript builds write corpus_sorted),
+    // so `--mode mlt` works on a bare index root
+    val seedSrc =
+      if (sfDir.nonEmpty) Catalog.readDocuments(spark, sfDir).toDF()
+      else Catalog.readNumbered(spark, paths).toDF()
+    val seedText = seedSrc
       .filter($"doc_id" === seedDoc)
       .select($"text").as[String].collect().headOption.getOrElse("")
     val tf = Analyzer.tokenize(seedText)

@@ -76,8 +76,8 @@ object SearchJob {
     require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 &&
       !a.robustBounds && a.filters.isEmpty && !a.explain),
       "--from/--after/--min-match/--robust-bounds/--filter/--explain require --mode wand")
-    require(a.mode != "mlt" || (a.corpus.nonEmpty && a.seed >= 0),
-      "--mode mlt requires --corpus and --seed")
+    require(a.mode != "mlt" || a.seed >= 0,
+      "--mode mlt requires --seed (--corpus optional: defaults to the index's own corpus)")
     require(!a.explain || (a.from == 0 && a.after.isEmpty),
       "--explain reports the plain top-k; drop --from/--after")
     a
