@@ -125,6 +125,63 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Ordered sloppy-phrase twin (semantics pinned in
+    * index/PositionalIndex.phraseMatchSloppy): an increasing position chain,
+    * one position per phrase term in order, span ≤ (n−1)+slop.
+    */
+  def phraseMatchSloppy(phrase: Seq[String], slop: Int): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+    val maxSpan = (terms.length - 1) + slop
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos > p${i - 1}.pos AND p$i.term = '$t'"
+    }.mkString("\n")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |$joins
+       |WHERE p0.term = '${terms.head}'
+       |  AND p${terms.length - 1}.pos - p0.pos <= $maxSpan
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** ES rescore twin: final = qw·bm25(top-window) + rw·length-prior
+    * (semantics pinned in SearchEngine.rescoreTopK).
+    */
+  def rescoreTopK(terms: Seq[String], k: Int, window: Int,
+      qw: Double, rw: Double): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+       |), win AS (
+       |  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+       |  ORDER BY sum(c) DESC, doc_id ASC LIMIT $window
+       |)
+       |SELECT w.doc_id,
+       |       round($qw * w.score + $rw * (1000.0 / (1000.0 + d.n_chars)), 4) AS rescored_r4
+       |FROM win w JOIN documents d ON d.doc_id = w.doc_id
+       |ORDER BY $qw * w.score + $rw * (1000.0 / (1000.0 + d.n_chars)) DESC, w.doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** ES percolator twin: generated from the SAME stored-query set the
     * engine registers (graft.search.Percolator.DriverQueries) so the two
     * sides cannot drift.

@@ -260,6 +260,18 @@ object SparkEntry {
       graft.index.PositionalIndex.phraseMatch(s, idx.paths.root,
         Seq("join", "hash"), idx.meta.buckets)
     }),
+    // ES match_phrase slop (ordered): "join ... hash" within 2 intervening
+    "phrase_slop" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.phraseMatchSloppy(s, idx.paths.root,
+        Seq("join", "hash"), 2, idx.meta.buckets)
+    }),
+    // ES rescore: top-window BM25 re-ranked by a doc-length prior
+    "bm25_rescore" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.rescoreTopK(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K, 50)
+    }),
     "phrase_topk" -> ((s, dir) => {
       val idx = IndexCache.positionalIndex(s, dir)
       graft.index.PositionalIndex.phraseTopK(s, idx.paths.root,
@@ -361,6 +373,8 @@ object SparkEntry {
     "phrase_match" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "phrase_match_indexed" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "phrase_topk" -> OracleSql.phraseTopK(Seq("join", "hash"), K),
+    "phrase_slop" -> OracleSql.phraseMatchSloppy(Seq("join", "hash"), 2),
+    "bm25_rescore" -> OracleSql.rescoreTopK(Seq("join", "window", "vector"), K, 50, 1.0, 2.0),
     "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),
     "distinct_users" -> OracleSql.distinctUsers,

@@ -226,6 +226,66 @@ object PositionalIndex {
     phraseTf(spark, root, phrase, buckets).select($"doc_id").orderBy($"doc_id")
   }
 
+  /** Sloppy phrase match (ES `match_phrase` slop, ordered form): a doc
+    * matches when an increasing position chain p1 < p2 < … < pn exists —
+    * one position per phrase term, in phrase order — with span
+    * pn − p1 ≤ (n−1) + slop. slop = 0 is exact adjacency ([[phraseMatch]]).
+    *
+    * Existence is decided by the greedy chain: for each start p1 ascending,
+    * chain each next term to its smallest position > previous — greedy
+    * minimizes pn for a given p1, so it finds a qualifying chain iff one
+    * exists. One pass over the first term's positions with monotone
+    * pointers per term: O(Σ positions) per doc. Same scan/shuffle shape as
+    * [[phraseTf]].
+    */
+  def phraseMatchSloppy(spark: SparkSession, root: String, phrase: Seq[String],
+      slop: Int, buckets: Int): DataFrame = {
+    import spark.implicits._
+    val terms = phrase.flatMap(Analyzer.tokenize(_))
+    require(terms.length >= 2, "sloppy phrase needs >= 2 terms")
+    val distinctTerms = terms.distinct
+    val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    val maxSpan = (terms.length - 1) + slop
+
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        it.foreach { case (_, t, ps) => byTerm(t) = ps }
+        if (!distinctTerms.forall(byTerm.contains)) Iterator.empty
+        else {
+          val lists = terms.map(byTerm).toArray
+          val ptrs = new Array[Int](lists.length)
+          var found = false
+          val firsts = lists(0)
+          var i = 0
+          while (!found && i < firsts.length) {
+            var prev = firsts(i)
+            var ok = true
+            var t = 1
+            while (ok && t < lists.length) {
+              val l = lists(t)
+              // monotone pointer: first position strictly after prev
+              while (ptrs(t) < l.length && l(ptrs(t)) <= prev) ptrs(t) += 1
+              if (ptrs(t) >= l.length) { ok = false; i = firsts.length }
+              else prev = l(ptrs(t))
+              t += 1
+            }
+            if (ok && prev - firsts(i) <= maxSpan) found = true
+            i += 1
+          }
+          if (found) Iterator.single(doc) else Iterator.empty
+        }
+      }
+      .toDF("doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Scored `match_phrase` (ES analog): BM25 top-k treating the phrase as a
     * single pseudo-term — tf = phrase frequency ([[phraseTf]]), df = number
     * of docs containing the phrase, dl/avgdl from the scored index.

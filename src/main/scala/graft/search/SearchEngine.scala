@@ -338,6 +338,31 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** ES `rescore`: re-rank the top-`window` WAND candidates with a secondary
+    * per-document score — final = queryWeight·bm25 + rescoreWeight·prior,
+    * the ES rescore weight combination. The secondary here is a length
+    * prior 1000/(1000+n_chars) (short docs up); any doc-metadata column
+    * works the same way. Cost: one top-window WAND pass + a broadcast join
+    * of ≤ window rows against the metadata — the corpus is never rescanned,
+    * exactly ES's rescore-window contract.
+    */
+  def rescoreTopK(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], k: Int, window: Int,
+      queryWeight: Double = 1.0, rescoreWeight: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val cands = topKWand(spark, root, rawTerms, window)
+    val meta = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars")
+    broadcast(cands).join(meta, "doc_id")
+      .select($"doc_id",
+        (lit(queryWeight) * $"score" +
+          lit(rescoreWeight) * (lit(1000.0) / (lit(1000.0) + $"n_chars")))
+          .as("rescored"))
+      .orderBy($"rescored".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"rescored", 4).as("rescored_r4"))
+  }
+
   /** ES `_explain` analog: per-term score breakdown for every top-k doc —
     * (doc_id, term, contribution). The same pruned scan as the scorer,
     * restricted to the top-k docIDs (broadcast); contributions re-derived
