@@ -182,6 +182,21 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** ES term-suggester twin: dictionary terms within maxDist edits of the
+    * input, ranked (distance ASC, df DESC, term ASC).
+    */
+  def suggest(input: String, n: Int, maxDist: Int): String =
+    s"""WITH dterm AS (
+       |  SELECT DISTINCT doc_id, term
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |), d AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dterm GROUP BY term
+       |), s AS (
+       |  SELECT term, CAST(levenshtein(term, '$input') AS INT) AS dist, df FROM d
+       |)
+       |SELECT term, dist, df FROM s WHERE dist <= $maxDist AND dist > 0
+       |ORDER BY dist ASC, df DESC, term ASC LIMIT $n""".stripMargin
+
   /** ES percolator twin: generated from the SAME stored-query set the
     * engine registers (graft.search.Percolator.DriverQueries) so the two
     * sides cannot drift.

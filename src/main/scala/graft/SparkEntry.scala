@@ -122,6 +122,11 @@ object SparkEntry {
       MoreLikeThis.topK(s, idx.paths.root, dir, seedDoc = 0L, k = K,
         maxQueryTerms = 5, minTermFreq = 1, minDocFreq = 2)
     }),
+    // ES term suggester: corrections for a misspelled term, dictionary-only
+    "suggest_term" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      TermQueries.suggest(s, idx.paths.root, "jion", 5, 2)
+    }),
     // ES wildcard query (unscored filter context, dictionary-expanded)
     "query_wildcard" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -328,6 +333,7 @@ object SparkEntry {
     "bm25_mlt" -> OracleSql.moreLikeThis(seedDoc = 0L, k = K, maxTerms = 5,
       minTf = 1, minDf = 2),
     "query_wildcard" -> OracleSql.wildcardDocs("*or*"),
+    "suggest_term" -> OracleSql.suggest("jion", 5, 2),
     "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
     "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),

@@ -82,6 +82,23 @@ object TermQueries {
     docsOfAny(spark, root, expanded)
   }
 
+  /** ES term suggester: spelling corrections for a (possibly misspelled)
+    * input term — dictionary terms within `maxDist` edits, ranked the ES
+    * way (edit distance ASC, then document frequency DESC, then term ASC),
+    * top `n`. Pure dictionary work: never touches postings or corpus.
+    */
+  def suggest(spark: SparkSession, root: String, term: String,
+      n: Int = 5, maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    Catalog.readDictionary(spark, IndexPaths(root))
+      .toDF()
+      .withColumn("dist", levenshtein($"term", lit(term)))
+      .filter($"dist" <= maxDist && $"dist" > 0)
+      .orderBy($"dist".asc, $"df".desc, $"term".asc)
+      .limit(n)
+      .select($"term", $"dist", $"df")
+  }
+
   /** ES fuzzy query: dictionary term expansion within `maxDist` edits
     * (capped at `maxExpansions`, term-ordered — ES's max_expansions), then
     * the single bucket-pruned disjunction scan.
