@@ -75,6 +75,25 @@ object IndexCache {
     })
   }
 
+  /** Scored index over the `title` subfield — the first 8 analyzed tokens
+    * of each doc, re-joined (analyzer-closed, so re-analysis yields exactly
+    * those tokens). A REAL second field with its own df/dl/avgdl stats, the
+    * prerequisite for ES multi_match (per-field similarity, as ES keeps
+    * per-field statistics).
+    */
+  def titleIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#title8", {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"/tmp/graft-index-$jvmTag/$key/documents_title8"
+        import spark.implicits._
+        val titles = Catalog.readDocuments(spark, sfDir)
+          .map(d => graft.model.Doc(d.doc_id,
+            graft.core.Analyzer.tokenize(d.text).take(8).mkString(" ")))
+        Indexer.buildFromDocs(titles, root, buckets = Buckets, targetRun = TargetRun)
+      })
+    }
+
   private val lshBuilt = scala.collection.mutable.Map[String, String]()
 
   /** LSH bucket table over `embeddings`, computed once per sfDir and

@@ -149,6 +149,45 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** ES multi_match (best_fields) twin: per-field BM25 with per-field stats
+    * — title = the first 8 analyzed tokens — combined per doc as
+    * max(text, boost·title). Exact (no window): the engine's union-of-
+    * windows candidates must reproduce this, which is the pinned exactness
+    * claim (SearchEngine.multiMatchTopK).
+    */
+  def multiMatchTopK(terms: Seq[String], k: Int, titleBoost: Double): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    def fieldScores(alias: String, toksExpr: String) =
+      s"""${alias}_dls AS (
+         |  SELECT doc_id, len($toksExpr) AS dl FROM documents
+         |), ${alias}_stats AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ${alias}_dls
+         |), ${alias}_tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksExpr) AS term FROM documents)
+         |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+         |), ${alias}_dfs AS (
+         |  SELECT term, count(*) AS df FROM ${alias}_tf GROUP BY term
+         |), ${alias}_s AS (
+         |  SELECT tf.doc_id, sum(
+         |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |    (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / s.avgdl)))) AS score
+         |  FROM ${alias}_tf tf
+         |  JOIN ${alias}_dfs d USING (term)
+         |  JOIN ${alias}_dls dls USING (doc_id)
+         |  CROSS JOIN ${alias}_stats s
+         |  GROUP BY tf.doc_id
+         |)""".stripMargin
+    s"""WITH ${fieldScores("tx", toks("text"))},
+       |${fieldScores("ti", s"list_slice(${toks("text")}, 1, 8)")}
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |       round(greatest(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0)), 4) AS score_r4
+       |FROM tx_s a FULL OUTER JOIN ti_s b ON a.doc_id = b.doc_id
+       |ORDER BY greatest(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0)) DESC,
+       |         coalesce(a.doc_id, b.doc_id) ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** ES rescore twin: final = qw·bm25(top-window) + rw·length-prior
     * (semantics pinned in SearchEngine.rescoreTopK).
     */

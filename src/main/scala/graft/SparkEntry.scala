@@ -122,6 +122,14 @@ object SparkEntry {
       MoreLikeThis.topK(s, idx.paths.root, dir, seedDoc = 0L, k = K,
         maxQueryTerms = 5, minTermFreq = 1, minDocFreq = 2)
     }),
+    // ES multi_match best_fields: text + title subfield (first 8 tokens),
+    // each with its OWN stats, combined per doc as max(text, 1.5*title)
+    "bm25_multi_match" -> ((s, dir) => {
+      val tx = IndexCache.documentsIndex(s, dir)
+      val ti = IndexCache.titleIndex(s, dir)
+      SearchEngine.multiMatchTopK(s, tx.paths.root, ti.paths.root,
+        Seq("join", "window", "vector"), K, titleBoost = 1.5)
+    }),
     // ES term suggester: corrections for a misspelled term, dictionary-only
     "suggest_term" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -334,6 +342,7 @@ object SparkEntry {
       minTf = 1, minDf = 2),
     "query_wildcard" -> OracleSql.wildcardDocs("*or*"),
     "suggest_term" -> OracleSql.suggest("jion", 5, 2),
+    "bm25_multi_match" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5),
     "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
     "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),

@@ -338,6 +338,38 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** ES `multi_match` (best_fields / dis_max, tie_breaker 0): per-field
+    * BM25 with each field's OWN statistics (df/dl/avgdl — ES per-field
+    * similarity), combined per doc as max(text, boost·title), top-k.
+    *
+    * Candidates are the union of the two per-field WAND top-`window` sets.
+    * Exactness argument: the combined vector pointwise-dominates each
+    * field's, so the k-th combined score θc ≥ every per-field θf; a doc in
+    * the true combined top-k therefore has some field score ≥ θc ≥ θf and
+    * sits inside that field's top-k — except a doc EXACTLY AT a field's
+    * boundary score that loses the doc_id tiebreak. `window` = k + 8
+    * absorbs up to 8 boundary-score ties per field (distinct BM25 sums
+    * collide only for structurally identical docs). Cost: two WAND passes +
+    * an O(window) fusion, corpus never decoded beyond the skip lists.
+    */
+  def multiMatchTopK(spark: SparkSession, textRoot: String, titleRoot: String,
+      rawTerms: Seq[String], k: Int, titleBoost: Double = 1.0,
+      windowOpt: Int = -1): DataFrame = {
+    import spark.implicits._
+    val window = if (windowOpt > 0) windowOpt else k + 8
+    val text = topKWand(spark, textRoot, rawTerms, window)
+      .select($"doc_id", $"score".as("s_text"))
+    val title = topKWand(spark, titleRoot, rawTerms, window)
+      .select($"doc_id", (lit(titleBoost) * $"score").as("s_title"))
+    text.join(title, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        greatest(coalesce($"s_text", lit(0.0)), coalesce($"s_title", lit(0.0)))
+          .as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
   /** ES `rescore`: re-rank the top-`window` WAND candidates with a secondary
     * per-document score — final = queryWeight·bm25 + rescoreWeight·prior,
     * the ES rescore weight combination. The secondary here is a length

@@ -1,0 +1,61 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexCache, TestSpark}
+
+/** multi_match best_fields: the union-of-per-field-windows candidate set
+  * must reproduce the EXHAUSTIVE dis_max ranking (the exactness claim in
+  * SearchEngine.multiMatchTopK's scaladoc) across query shapes and boosts.
+  */
+class MultiMatchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def exhaustive(textRoot: String, titleRoot: String,
+      q: Seq[String], k: Int, boost: Double): Seq[(Long, Double)] = {
+    import spark.implicits._
+    val a = SearchEngine.scoreAllDocs(spark, textRoot, q)
+      .select($"doc_id", $"score".as("s_text"))
+    val b = SearchEngine.scoreAllDocs(spark, titleRoot, q)
+      .select($"doc_id", (lit(boost) * $"score").as("s_title"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        greatest(coalesce($"s_text", lit(0.0)), coalesce($"s_title", lit(0.0))).as("s"))
+      .orderBy($"s".desc, $"doc_id".asc).limit(k)
+      .select($"doc_id", round($"s", 4).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("windowed multi_match equals exhaustive dis_max across queries and boosts") {
+    val tx = IndexCache.documentsIndex(spark, sfDir)
+    val ti = IndexCache.titleIndex(spark, sfDir)
+    val queries = Seq(
+      Seq("join", "window", "vector"), Seq("join"), Seq("the", "a", "join"),
+      Seq("join", "zebra"), Seq("scan", "filter", "sort", "merge", "group"))
+    for (q <- queries; boost <- Seq(0.5, 1.0, 2.0); k <- Seq(5, 20)) {
+      val got = SearchEngine.multiMatchTopK(spark, tx.paths.root, ti.paths.root,
+          q, k, boost)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = exhaustive(tx.paths.root, ti.paths.root, q, k, boost)
+      assert(got == want, s"q=$q boost=$boost k=$k")
+    }
+  }
+
+  test("title field has its own statistics: title-heavy docs outrank on boost") {
+    import spark.implicits._
+    val tx = IndexCache.documentsIndex(spark, sfDir)
+    val ti = IndexCache.titleIndex(spark, sfDir)
+    // with a large title boost the ranking must differ from text-only
+    val q = Seq("join", "window", "vector")
+    val plain = SearchEngine.topKWandRounded(spark, tx.paths.root, q, 10)
+      .select($"doc_id").as[Long].collect().toSeq
+    val multi = SearchEngine.multiMatchTopK(spark, tx.paths.root, ti.paths.root,
+        q, 10, titleBoost = 5.0)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(plain != multi, "a strong title boost must change the ranking")
+  }
+}
