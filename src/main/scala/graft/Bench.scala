@@ -32,6 +32,7 @@ object Bench {
     IndexCache.keywordField(spark, sfDir, "source")    // filter postings
     IndexCache.deletedIndex(spark, sfDir, Seq("stream")) // tombstoned variant
     IndexCache.purgedIndex(spark, sfDir, Seq("stream"))  // expunge-merged variant
+    IndexCache.titleIndex(spark, sfDir)                  // multi_match subfield
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

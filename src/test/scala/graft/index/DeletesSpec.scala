@@ -53,6 +53,26 @@ class DeletesSpec extends AnyFunSuite {
     assert(n1.toLong == n2, "re-deleting the same query must not grow the set")
   }
 
+  test("compaction preserves tombstone exclusion (compact is not purge)") {
+    val clean = IndexCache.documentsIndex(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val root = s"/tmp/graft-delcompact-$tag"
+    try {
+      // independent copy: build, tombstone, then segment-merge
+      Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+        buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+      Deletes.deleteByQuery(spark, root, Seq(delTerm))
+      val before = hits(SearchEngine.topKWandRounded(spark, root, q, 10))
+      Compaction.compact(spark, root)
+      val after = hits(SearchEngine.topKWandRounded(spark, root, q, 10))
+      assert(after == before, "compact must keep excluding tombstoned docs")
+      assert(Deletes.read(spark, IndexPaths(root)).nonEmpty,
+        "compact must not clear tombstones — purge does")
+      // sanity: the exclusion is real (clean index ranks differently)
+      assert(after != hits(SearchEngine.topKWandRounded(spark, clean.paths.root, q, 10)))
+    } finally Fs.delete(root)
+  }
+
   test("purge: query-identical to an index freshly built over the live corpus") {
     import spark.implicits._
     val purged = IndexCache.purgedIndex(spark, sfDir, Seq(delTerm))
