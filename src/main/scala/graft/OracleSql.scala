@@ -112,17 +112,21 @@ object OracleSql {
   /** ES wildcard twin: docs containing any indexed term matching the
     * translated pattern (same `*`/`?` translation as TermQueries.wildcard).
     */
-  def wildcardDocs(pattern: String): String = {
+  def wildcardDocs(pattern: String, maxExpansions: Int = 1000): String = {
     val rx = pattern.map {
       case '*' => ".*"
       case '?' => "."
       case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
       case c => c.toString
     }.mkString("^", "", "$")
-    s"""SELECT DISTINCT doc_id
-       |FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
-       |WHERE regexp_matches(term, '$rx')
-       |ORDER BY doc_id""".stripMargin
+    // vocabulary expansion capped term-ordered, exactly like the engine
+    // (TermQueries.wildcard maxExpansions) — uncapped, the two sides would
+    // diverge the day a pattern matches > maxExpansions dictionary terms
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |exp AS (SELECT term FROM vocab WHERE regexp_matches(term, '$rx')
+       |        ORDER BY term LIMIT $maxExpansions)
+       |SELECT DISTINCT doc_id FROM tok JOIN exp USING (term) ORDER BY doc_id""".stripMargin
   }
 
   /** Ordered sloppy-phrase twin (semantics pinned in

@@ -71,10 +71,12 @@ object SparkEntry {
       import s.implicits._
       val idx = IndexCache.documentsIndex(s, dir)
       val q = Seq("join", "window", "vector")
-      val cursor = SearchEngine.topKWand(s, idx.paths.root, q, K)
-        .as[graft.model.Hit].collect().last
-      SearchEngine.topKSearchAfterRounded(s, idx.paths.root, q, K,
-        cursor.score, cursor.doc_id)
+      SearchEngine.topKWand(s, idx.paths.root, q, K)
+        .as[graft.model.Hit].collect().lastOption match {
+        case Some(cursor) => SearchEngine.topKSearchAfterRounded(
+          s, idx.paths.root, q, K, cursor.score, cursor.doc_id)
+        case None => s.emptyDataset[(Long, Double)].toDF("doc_id", "score_r4")
+      }
     }),
     // per-term boosts (ES `term^w`): weight multiplies the idf, flowing
     // through WAND bounds rank-safely

@@ -51,17 +51,18 @@ object Analyzer {
   def tokenize(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty[String]
     val n = text.length
-    var a = 0
-    while (a < n && text.charAt(a) <= 127) a += 1
-    if (a < n) { // non-ASCII present: exact Column-form semantics
-      return pattern.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
-    }
+    // single pass: the first non-ASCII char encountered mid-scan discards
+    // the partial output and falls back to the regex pipeline (was: a
+    // whole-string ASCII pre-scan — a second full char read on the path
+    // that dominates the build's CPU at scale)
     val out = new scala.collection.mutable.ArrayBuffer[String](16)
     var i = 0
     while (i < n) {
-      // skip separators
-      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      // skip ASCII separators; stop at token chars AND at non-ASCII
+      while (i < n && { val c = text.charAt(i); c <= 127 && !isTokenChar(c) }) i += 1
       if (i < n) {
+        if (text.charAt(i) > 127) // non-ASCII: exact Column-form semantics
+          return pattern.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
         val start = i
         var needsLower = false
         while (i < n && isTokenChar(text.charAt(i))) {

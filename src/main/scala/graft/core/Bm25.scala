@@ -52,7 +52,14 @@ object QueryModel {
   def parseBoost(raw: String): (String, Double) = {
     val i = raw.lastIndexOf('^')
     if (i > 0 && i < raw.length - 1)
-      try (raw.substring(0, i), raw.substring(i + 1).toDouble)
+      try {
+        val w = raw.substring(i + 1).toDouble
+        // a negative weight would flip idf's sign, turning every block-max
+        // UPPER bound into a lower bound — WAND skips would be rank-unsafe.
+        // ES rejects negative boosts for the same reason.
+        require(w >= 0.0, s"negative boost not allowed: $raw")
+        (raw.substring(0, i), w)
+      }
       catch { case _: NumberFormatException => (raw, 1.0) }
     else (raw, 1.0)
   }

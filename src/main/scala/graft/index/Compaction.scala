@@ -59,6 +59,9 @@ object Compaction {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(postingsNew)
+    // keyword rows were carried into the rewrite — forward their markers too
+    Fs.listTopFiles(paths.postings, "_kw_")
+      .foreach(m => Fs.copyDir(m, s"$postingsNew/${new org.apache.hadoop.fs.Path(m).getName}"))
     Fs.publishVersion(paths.postingsBase, postingsNew)
 
     // dictionary from the fresh block headers (df/cf exact: one run per term

@@ -140,6 +140,9 @@ object Deletes {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(postingsNew)
+    // keyword rows survive the rewrite — forward their markers too
+    Fs.listTopFiles(paths.postings, "_kw_")
+      .foreach(m => Fs.copyDir(m, s"$postingsNew/${new org.apache.hadoop.fs.Path(m).getName}"))
     Fs.publishVersion(paths.postingsBase, postingsNew)
 
     val statsNew = s"${paths.corpusStatsBase}_staging"

@@ -172,6 +172,10 @@ object IndexBuildJob {
     val s3Fp = Catalog.fingerprint(paths.postings)
     stage("finalize", s3Fp, paths.dictionary) {
       spark.read.parquet(paths.postings)
+        // a --resume rerun can see keyword `field:value` postings appended
+        // by a previous run's kw stage — they carry no idf and must not
+        // enter the dictionary (same exclusion as Compaction/Deletes.purge)
+        .filter(!$"term".contains(":"))
         .groupBy($"term")
         .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
           max($"max_tf_norm").as("max_tf_norm"))

@@ -32,11 +32,20 @@ object KeywordIndex {
 
   def fieldTerm(field: String, value: String): String = s"$field:$value"
 
-  /** Index one keyword column: `docs` must carry (doc_id, <field>). */
+  /** Index one keyword column: `docs` must carry (doc_id, <field>).
+    *
+    * The idempotency marker lives INSIDE the resolved postings generation
+    * (`_`-prefixed: invisible to Spark scans and to the fingerprint): a
+    * postings rebuild wipes it, so the field re-indexes instead of silently
+    * vanishing from filters (the old root-level marker survived rebuilds).
+    * Compaction and purge rewrite postings but carry the keyword ROWS
+    * forward, so they forward the markers too; snapshots copy them with
+    * the dir.
+    */
   def add(spark: SparkSession, root: String, docs: DataFrame, field: String): Unit = {
     import spark.implicits._
     val paths = IndexPaths(root)
-    val marker = s"$root/kw_$field"
+    val marker = s"${paths.postings}/_kw_$field"
     if (Fs.exists(marker)) return
     val meta = Indexer.readMeta(spark, root)
     val parts = spark.sessionState.conf.numShufflePartitions

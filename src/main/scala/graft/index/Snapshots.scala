@@ -42,21 +42,40 @@ object Snapshots {
     case "deletes" => paths.deletesBase
   }
 
-  /** Snapshot `root` into `snapDir`; returns the artifact→fingerprint map. */
+  /** Snapshot `root` into `snapDir`; returns the artifact→fingerprint map.
+    *
+    * Cross-artifact consistency: each COPY is internally consistent
+    * (resolved generations are immutable), but a publish landing BETWEEN
+    * two copies would mix generations across artifacts. The resolved paths
+    * are therefore re-checked after all copies; a concurrent swap triggers
+    * one clean retry, then an error — never a silently mixed snapshot.
+    */
   def create(spark: SparkSession, root: String, snapDir: String): Map[String, String] = {
     val paths = IndexPaths(root)
     require(Fs.exists(paths.postings), s"no index at $root")
-    Fs.mkdirs(snapDir)
-    val fps = Artifacts.flatMap { name =>
-      val src = artifactPath(paths, name)
-      if (!Fs.exists(src)) None
-      else {
-        Fs.copyDir(src, s"$snapDir/$name")
-        Some(name -> Catalog.fingerprint(s"$snapDir/$name"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      Fs.delete(snapDir)
+      Fs.mkdirs(snapDir)
+      val resolvedBefore = Artifacts.map(n => n -> artifactPath(paths, n)).toMap
+      val fps = Artifacts.flatMap { name =>
+        val src = resolvedBefore(name)
+        if (!Fs.exists(src)) None
+        else {
+          Fs.copyDir(src, s"$snapDir/$name")
+          Some(name -> Catalog.fingerprint(s"$snapDir/$name"))
+        }
+      }.toMap
+      val stable = Artifacts.forall(n => artifactPath(paths, n) == resolvedBefore(n))
+      if (stable) {
+        writeManifest(snapDir, fps)
+        return fps
       }
-    }.toMap
-    writeManifest(snapDir, fps)
-    fps
+      require(attempt < 2,
+        s"index at $root kept swapping generations during snapshot — retry when quiescent")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Restore a snapshot onto `root` (atomic per artifact, fingerprint-

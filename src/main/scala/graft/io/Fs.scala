@@ -96,6 +96,17 @@ object Fs {
     if (n > 2) fs.delete(new Path(s"${base}_v${n - 2}"), true): Unit
   }
 
+  /** Top-level files of `dir` whose names start with `prefix` (marker
+    * forwarding across postings rewrites).
+    */
+  def listTopFiles(dir: String, prefix: String): Seq[String] = {
+    val (fs, p) = fsOf(dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toUri.getPath)
+  }
+
   /** Recursive directory copy through the FileSystem API (snapshots). */
   def copyDir(src: String, dst: String): Unit = {
     val (sfs, sp) = fsOf(src)

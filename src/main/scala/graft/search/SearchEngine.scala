@@ -342,32 +342,41 @@ object SearchEngine {
     * BM25 with each field's OWN statistics (df/dl/avgdl — ES per-field
     * similarity), combined per doc as max(text, boost·title), top-k.
     *
-    * Candidates are the union of the two per-field WAND top-`window` sets.
-    * Exactness argument: the combined vector pointwise-dominates each
-    * field's, so the k-th combined score θc ≥ every per-field θf; a doc in
-    * the true combined top-k therefore has some field score ≥ θc ≥ θf and
-    * sits inside that field's top-k — except a doc EXACTLY AT a field's
-    * boundary score that loses the doc_id tiebreak. `window` = k + 8
-    * absorbs up to 8 boundary-score ties per field (distinct BM25 sums
-    * collide only for structurally identical docs). Cost: two WAND passes +
-    * an O(window) fusion, corpus never decoded beyond the skip lists.
+    * EXACT, with bounded work: candidates are the union of the two
+    * per-field WAND top-`w` windows, fused on the driver (≤ 2w rows, the
+    * ES-coordinator shape). A doc outside field f's FULL window has
+    * s_f ≤ that window's boundary score, so when every full window's
+    * boundary is STRICTLY below the fused k-th combined score θc, no
+    * unseen doc can reach the top-k — the result is provably exact. If a
+    * boundary ties or exceeds θc (pathologically many equal-score docs —
+    * e.g. mass duplicates), w escalates ×4 and retries; windows that come
+    * back non-full contain every matching doc and terminate the loop
+    * unconditionally. Typical cost: one round of two WAND passes.
     */
   def multiMatchTopK(spark: SparkSession, textRoot: String, titleRoot: String,
       rawTerms: Seq[String], k: Int, titleBoost: Double = 1.0,
       windowOpt: Int = -1): DataFrame = {
     import spark.implicits._
-    val window = if (windowOpt > 0) windowOpt else k + 8
-    val text = topKWand(spark, textRoot, rawTerms, window)
-      .select($"doc_id", $"score".as("s_text"))
-    val title = topKWand(spark, titleRoot, rawTerms, window)
-      .select($"doc_id", (lit(titleBoost) * $"score").as("s_title"))
-    text.join(title, Seq("doc_id"), "full_outer")
-      .select($"doc_id",
-        greatest(coalesce($"s_text", lit(0.0)), coalesce($"s_title", lit(0.0)))
-          .as("score"))
-      .orderBy($"score".desc, $"doc_id".asc)
-      .limit(k)
-      .select($"doc_id", round($"score", 4).as("score_r4"))
+    var w = math.max(k, if (windowOpt > 0) windowOpt else k + 8)
+    while (true) {
+      val txt = topKWand(spark, textRoot, rawTerms, w).as[Hit].collect()
+      val ttl = topKWand(spark, titleRoot, rawTerms, w).as[Hit].collect()
+        .map(h => Hit(h.doc_id, titleBoost * h.score))
+      val fused = (txt ++ ttl).groupBy(_.doc_id).view
+        .mapValues(_.map(_.score).max).toSeq
+        .sortBy { case (d, s) => (-s, d) }
+        .take(k)
+      // fused.size < k ⟹ both windows under w ⟹ all matching docs seen
+      val thetaC = if (fused.size < k) Double.NegativeInfinity else fused.last._2
+      val txtOk = txt.length < w || txt.last.score < thetaC
+      val ttlOk = ttl.length < w || ttl.last.score < thetaC
+      if ((txtOk && ttlOk) || fused.size < k)
+        return spark.createDataset(fused).toDF("doc_id", "score")
+          .select($"doc_id", round($"score", 4).as("score_r4"))
+          .orderBy($"score_r4".desc, $"doc_id".asc)
+      w *= 4
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** ES `rescore`: re-rank the top-`window` WAND candidates with a secondary
