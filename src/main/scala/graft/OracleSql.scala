@@ -325,6 +325,12 @@ object OracleSql {
        |ORDER BY source, bucket_rank""".stripMargin
   }
 
+  /** ES `collapse` twin: best hit per source, top-k of the collapsed set. */
+  def collapseBySource(terms: Seq[String], k: Int): String =
+    s"""SELECT source, doc_id, score_r4
+       |FROM (${topHitsByFacet(terms, 1)})
+       |ORDER BY score_r4 DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** ES `_explain` analog: per-term BM25 contribution rows for the top-k. */
   def bm25Explain(terms: Seq[String], k: Int): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted

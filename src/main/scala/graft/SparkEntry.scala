@@ -118,6 +118,12 @@ object SparkEntry {
       Aggregations.topHitsByFacet(s, idx.paths.root, dir,
         Seq("join", "window", "vector"), 3)
     }),
+    // ES collapse: one best hit per source value, top-k of the collapsed set
+    "collapse_source" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Aggregations.collapseBySource(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K)
+    }),
     // ES more_like_this: seed doc 0's top tf·idf terms -> scored disjunction
     "bm25_mlt" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -340,6 +346,7 @@ object SparkEntry {
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
     "sig_terms" -> OracleSql.significantTerms("join", 10),
     "top_hits_facet" -> OracleSql.topHitsByFacet(Seq("join", "window", "vector"), 3),
+    "collapse_source" -> OracleSql.collapseBySource(Seq("join", "window", "vector"), K),
     "bm25_mlt" -> OracleSql.moreLikeThis(seedDoc = 0L, k = K, maxTerms = 5,
       minTf = 1, minDf = 2),
     "query_wildcard" -> OracleSql.wildcardDocs("*or*"),

@@ -58,6 +58,19 @@ object Aggregations {
     * ranking so the bucket ranks are engine-portable (the global top-k paths
     * tie-break on exact doubles instead, both engines summing identically).
     */
+  /** ES `collapse`: one best hit per `source` value — top_hits with bucket
+    * size 1, flattened (the result dedupes on the collapse field, ranked by
+    * the collapsed hits' scores).
+    */
+  def collapseBySource(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    topHitsByFacet(spark, root, sfDir, rawTerms, 1)
+      .select($"source", $"doc_id", $"score_r4")
+      .orderBy($"score_r4".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
   def topHitsByFacet(spark: SparkSession, root: String, sfDir: String,
       rawTerms: Seq[String], perBucket: Int): DataFrame = {
     import spark.implicits._
