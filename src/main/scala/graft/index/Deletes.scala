@@ -52,6 +52,25 @@ object Deletes {
 
   def hasDeletes(paths: IndexPaths): Boolean = Fs.exists(paths.deletes)
 
+  /** Drop tombstoned docIDs from a (doc_id, …) DataFrame — the exclusion
+    * every non-scored query path applies (ES filter/boolean/phrase queries
+    * never return deleted docs either). No-op when the index has no
+    * tombstones; otherwise a broadcast left-anti join against the tiny
+    * tombstone table (small in steady state — purge's scaladoc covers the
+    * degenerate mostly-dead case). The scored WAND path excludes inside
+    * the shard scorer instead (cogrouped, no broadcast).
+    */
+  def filterLive(df: org.apache.spark.sql.DataFrame, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val paths = IndexPaths(root)
+    if (!hasDeletes(paths)) df
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(paths.deletes).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** ES `_delete_by_query` with a match-any (OR) query over the analyzed
     * terms: tombstone every doc containing any of them. Idempotent (set
     * union); returns the live tombstone count after the merge.

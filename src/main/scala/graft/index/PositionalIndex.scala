@@ -215,6 +215,7 @@ object PositionalIndex {
         }
       }
       .toDF("doc_id", "ptf")
+      .transform(Deletes.filterLive(_, root))
   }
 
   /** Index-backed phrase match (unscored filter context): matching doc_ids,
@@ -283,6 +284,7 @@ object PositionalIndex {
         }
       }
       .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
       .orderBy($"doc_id")
   }
 

@@ -28,6 +28,7 @@ object Booleans {
       .as[(Int, Array[Byte])]
       .flatMap { case (n, deltas) => Codec.decodeDeltas(deltas, n) }
       .toDF("doc_id")
+      .transform(graft.index.Deletes.filterLive(_, root))
   }
 
   /** Docs containing ALL terms (conjunction): left-semi chain. */
@@ -105,6 +106,7 @@ object Booleans {
         }
       }
       .toDF("doc_id")
+      .transform(graft.index.Deletes.filterLive(_, root))
       .orderBy($"doc_id")
   }
 }

@@ -109,6 +109,7 @@ object SearchEngine {
         Hit(docId, s)
       }
       .toDF()
+      .transform(graft.index.Deletes.filterLive(_, root))
   }
 
   /** Driver-contract shape: rounded scores (see BruteForce.topKRounded). */

@@ -37,6 +37,7 @@ object TermQueries {
       .flatMap { case (n, deltas) => Codec.decodeDeltas(deltas, n) }
       .toDF("doc_id")
       .distinct()
+      .transform(graft.index.Deletes.filterLive(_, root))
       .orderBy($"doc_id")
   }
 

@@ -53,6 +53,63 @@ class DeletesSpec extends AnyFunSuite {
     assert(n1.toLong == n2, "re-deleting the same query must not grow the set")
   }
 
+  test("unscored paths exclude tombstones: boolean, wildcard, phrase") {
+    import spark.implicits._
+    val clean = IndexCache.documentsIndex(spark, sfDir)
+    val del = IndexCache.deletedIndex(spark, sfDir, Seq(delTerm))
+    val dead = Deletes.read(spark, IndexPaths(del.paths.root)).toSet
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").as[Long].collect().toSet
+
+    val orClean = ids(graft.search.Booleans.or(spark, clean.paths.root, Seq("join", "hash")))
+    val orDel = ids(graft.search.Booleans.or(spark, del.paths.root, Seq("join", "hash")))
+    assert(orDel == orClean -- dead, "boolean OR must exclude tombstones")
+
+    val wcClean = ids(graft.search.TermQueries.wildcard(spark, clean.paths.root, "*or*"))
+    val wcDel = ids(graft.search.TermQueries.wildcard(spark, del.paths.root, "*or*"))
+    assert(wcDel == wcClean -- dead, "wildcard must exclude tombstones")
+
+    // positional index on the tombstoned root
+    val parts = spark.sessionState.conf.numShufflePartitions
+    PositionalIndex.build(Catalog.readDocuments(spark, sfDir), del.paths.root,
+      del.meta.buckets, parts * 2, del.meta.doc_id_space, parts)
+    val phClean = ids(graft.operators.Phrase.phraseMatch(spark, sfDir, Seq("join", "hash")))
+    val phDel = ids(PositionalIndex.phraseMatch(spark, del.paths.root,
+      Seq("join", "hash"), del.meta.buckets))
+    assert(phDel == phClean -- dead, "phrase match must exclude tombstones")
+  }
+
+  test("queries running concurrently with a purge never fail or surface tombstoned docs") {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val root = s"/tmp/graft-delconc-$tag"
+    try {
+      Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+        buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+      Deletes.deleteByQuery(spark, root, Seq(delTerm))
+      val dead = Deletes.read(spark, IndexPaths(root)).toSet
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val leaked = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val got = SearchEngine.topKWandRounded(spark, root, q, 10)
+              .collect().map(_.getLong(0))
+            if (got.exists(dead.contains)) leaked.incrementAndGet()
+          } catch { case t: Throwable => errors.add(t) }
+        }
+      })
+      reader.start()
+      Deletes.purge(spark, root)
+      Thread.sleep(500)
+      stop.set(true)
+      reader.join(30000)
+      assert(errors.isEmpty, s"concurrent reader failed: ${errors.peek()}")
+      assert(leaked.get() == 0, "a tombstoned doc surfaced mid-purge")
+    } finally Fs.delete(root)
+  }
+
   test("compaction preserves tombstone exclusion (compact is not purge)") {
     val clean = IndexCache.documentsIndex(spark, sfDir)
     val tag = java.util.UUID.randomUUID().toString.take(8)
