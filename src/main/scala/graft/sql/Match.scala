@@ -48,9 +48,36 @@ final case class FullTextMatchExec(output: Seq[Attribute], root: String,
   }
 }
 
+/** `match_phrase()` analog: scored phrase top-k over the positional index
+  * (PositionalIndex.phraseTopK), same leaf-node shape as [[FullTextMatch]].
+  */
+final case class FullTextPhrase(root: String, phrase: Seq[String], k: Int,
+    buckets: Int, override val output: Seq[Attribute]) extends LeafNode {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(k.toLong.max(1L) * 16L))
+}
+
+object FullTextPhrase {
+  def apply(root: String, phrase: Seq[String], k: Int, buckets: Int): FullTextPhrase =
+    FullTextPhrase(root, phrase, k, buckets, Seq(
+      AttributeReference("doc_id", LongType, nullable = false)(),
+      AttributeReference("score_r4", DoubleType, nullable = true)()))
+}
+
+final case class FullTextPhraseExec(output: Seq[Attribute], root: String,
+    phrase: Seq[String], k: Int, buckets: Int) extends LeafExecNode {
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = SparkSession.active
+    graft.index.PositionalIndex.phraseTopK(spark, root, phrase, k, buckets)
+      .queryExecution.toRdd
+  }
+}
+
 object MatchStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case m: FullTextMatch => FullTextMatchExec(m.output, m.root, m.terms, m.k) :: Nil
+    case m: FullTextPhrase =>
+      FullTextPhraseExec(m.output, m.root, m.phrase, m.k, m.buckets) :: Nil
     case _ => Nil
   }
 }
@@ -79,4 +106,17 @@ object Match {
   def createView(spark: SparkSession, name: String, root: String,
       query: String, k: Int): Unit =
     topK(spark, root, query, k).createOrReplaceTempView(name)
+
+  /** DataFrame over the scored-phrase node (ES match_phrase analog). */
+  def phraseTopK(spark: SparkSession, root: String, phrase: String, k: Int,
+      buckets: Int): DataFrame = {
+    setup(spark)
+    GraftDatasetFactory.ofRows(spark,
+      FullTextPhrase(root, phrase.split("\\s+").filter(_.nonEmpty).toSeq, k, buckets))
+  }
+
+  /** SQL view over the scored-phrase node. */
+  def createPhraseView(spark: SparkSession, name: String, root: String,
+      phrase: String, k: Int, buckets: Int): Unit =
+    phraseTopK(spark, root, phrase, k, buckets).createOrReplaceTempView(name)
 }

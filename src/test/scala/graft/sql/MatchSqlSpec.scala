@@ -30,6 +30,19 @@ class MatchSqlSpec extends AnyFunSuite {
       hits(direct.orderBy(direct("score_r4").desc, direct("doc_id"))))
   }
 
+  test("SQL over the phrase view plans to FullTextPhraseExec and matches phraseTopK") {
+    val idx = IndexCache.positionalIndex(spark, sfDir)
+    Match.createPhraseView(spark, "mp_test", idx.paths.root, "join hash", 10,
+      idx.meta.buckets)
+    val sql = spark.sql("SELECT doc_id, score_r4 FROM mp_test")
+    assert(sql.queryExecution.executedPlan.toString.contains("FullTextPhrase"),
+      s"expected the phrase scan in:\n${sql.queryExecution.executedPlan.toString.take(1500)}")
+    val direct = graft.index.PositionalIndex.phraseTopK(spark, idx.paths.root,
+      Seq("join", "hash"), 10, idx.meta.buckets)
+    assert(hits(sql.orderBy(sql("score_r4").desc, sql("doc_id"))) ==
+      hits(direct.orderBy(direct("score_r4").desc, direct("doc_id"))))
+  }
+
   test("match view joins like an ordinary table (broadcast-eligible leaf)") {
     val idx = IndexCache.documentsIndex(spark, sfDir)
     Match.createView(spark, "m_join", idx.paths.root, "join hash", 5)
