@@ -51,13 +51,6 @@ object Aggregations {
       .select($"term", round($"jlh", 6).as("jlh_r6"))
   }
 
-  /** ES `top_hits` under a terms aggregation: the best `perBucket` hits of
-    * the query per `source` facet, ranked (score DESC, doc_id ASC) within
-    * each bucket. The per-bucket cut is a partitioned window over the scored
-    * matches — Spark's TakeOrdered-per-group; scores round to 4dp BEFORE
-    * ranking so the bucket ranks are engine-portable (the global top-k paths
-    * tie-break on exact doubles instead, both engines summing identically).
-    */
   /** ES `collapse`: one best hit per `source` value — top_hits with bucket
     * size 1, flattened (the result dedupes on the collapse field, ranked by
     * the collapsed hits' scores).
@@ -71,6 +64,17 @@ object Aggregations {
       .limit(k)
   }
 
+  /** ES `top_hits` under a terms aggregation: the best `perBucket` hits of
+    * the query per `source` facet, ranked (score DESC, doc_id ASC) within
+    * each bucket. Scores EVERY matching doc — the same cost ES pays:
+    * aggregations consume the full hit stream, and WAND skipping is
+    * impossible without a per-bucket threshold (any doc can be the best of
+    * a bucket nothing else matched). The per-bucket cut is a partitioned
+    * window over the scored matches — Spark's TakeOrdered-per-group; scores
+    * round to 4dp BEFORE ranking so the bucket ranks are engine-portable
+    * (the global top-k paths tie-break on exact doubles instead, both
+    * engines summing identically).
+    */
   def topHitsByFacet(spark: SparkSession, root: String, sfDir: String,
       rawTerms: Seq[String], perBucket: Int): DataFrame = {
     import spark.implicits._

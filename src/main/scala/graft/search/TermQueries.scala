@@ -93,6 +93,11 @@ object TermQueries {
     import spark.implicits._
     Catalog.readDictionary(spark, IndexPaths(root))
       .toDF()
+      // lossless prune BEFORE the levenshtein: edit distance >= length
+      // difference, and the cheap length predicate is pushdown-friendly
+      // (Lucene prunes fuzzy expansion with an automaton for the same
+      // reason — a full-dictionary levenshtein scan is the wrong shape)
+      .filter(abs(length($"term") - lit(term.length)) <= maxDist)
       .withColumn("dist", levenshtein($"term", lit(term)))
       .filter($"dist" <= maxDist && $"dist" > 0)
       .orderBy($"dist".asc, $"df".desc, $"term".asc)
@@ -109,7 +114,9 @@ object TermQueries {
     import spark.implicits._
     val expanded = Catalog.readDictionary(spark, IndexPaths(root))
       .toDF()
-      .filter(levenshtein($"term", lit(term)) <= maxDist)
+      // same lossless length prune as [[suggest]]
+      .filter(abs(length($"term") - lit(term.length)) <= maxDist &&
+        levenshtein($"term", lit(term)) <= maxDist)
       .orderBy($"term")
       .limit(maxExpansions)
       .collect().map(_.getString(0)).toSeq
