@@ -240,6 +240,22 @@ object OracleSql {
        |SELECT term, dist, df FROM s WHERE dist <= $maxDist AND dist > 0
        |ORDER BY dist ASC, df DESC, term ASC LIMIT $n""".stripMargin
 
+  /** Index corpus-facts twin (IndexStats.corpusFacts). */
+  val indexStats: String =
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+       |  GROUP BY term
+       |)
+       |SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |       (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM dls) AS total_tokens,
+       |       (SELECT round(CAST(coalesce(sum(dl), 0) AS DOUBLE) / count(*), 6) FROM dls) AS avgdl_r6,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM dfs) AS n_terms,
+       |       (SELECT CAST(coalesce(max(df), 0) AS BIGINT) FROM dfs) AS max_df""".stripMargin
+
   /** ES percolator twin: generated from the SAME stored-query set the
     * engine registers (graft.search.Percolator.DriverQueries) so the two
     * sides cannot drift.

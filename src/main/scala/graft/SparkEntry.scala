@@ -148,6 +148,11 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       TermQueries.wildcard(s, idx.paths.root, "*or*")
     }),
+    // ES _stats/_cat analog: corpus-derivable index statistics
+    "index_stats" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.index.IndexStats.corpusFacts(s, idx.paths.root)
+    }),
     // ES percolator: stored queries matched against every incoming doc —
     // one narrow broadcast pass, no shuffle (reverse search / alerting)
     "percolate" -> ((s, dir) =>
@@ -353,6 +358,7 @@ object SparkEntry {
     "suggest_term" -> OracleSql.suggest("jion", 5, 2),
     "bm25_multi_match" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5),
     "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
+    "index_stats" -> OracleSql.indexStats,
     "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(s"NOT list_contains(${OracleSql.toks("text")}, 'stream')")),
     "bm25_purged" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
