@@ -192,6 +192,51 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** BM25F twin (semantics pinned in search/Bm25F.scala): field-weighted,
+    * per-field length-normalized tf summed BEFORE k1 saturation; idf = text
+    * df (title is a prefix subfield, so any-field df == text df).
+    */
+  def bm25fTopK(terms: Seq[String], k: Int, wText: Double, wTitle: Double): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH tx_dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), tx_stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM tx_dls
+       |), ti_dls AS (
+       |  SELECT doc_id, len(list_slice(${toks("text")}, 1, 8)) AS dl FROM documents
+       |), ti_stats AS (
+       |  SELECT avg(dl) AS avgdl FROM ti_dls
+       |), tx_tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), ti_tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_slice(${toks("text")}, 1, 8)) AS term FROM documents)
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tx_tf GROUP BY term
+       |), shares AS (
+       |  SELECT f.doc_id, f.term,
+       |         $wText * f.tf / (1 - 0.75 + 0.75 * d.dl / s.avgdl) AS share
+       |  FROM tx_tf f JOIN tx_dls d USING (doc_id) CROSS JOIN tx_stats s
+       |  UNION ALL
+       |  SELECT f.doc_id, f.term,
+       |         $wTitle * f.tf / (1 - 0.75 + 0.75 * d.dl / s.avgdl) AS share
+       |  FROM ti_tf f JOIN ti_dls d USING (doc_id) CROSS JOIN ti_stats s
+       |), pseudo AS (
+       |  SELECT doc_id, term, sum(share) AS s FROM shares GROUP BY doc_id, term
+       |), scored AS (
+       |  SELECT p.doc_id,
+       |         sum(ln(1 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |             p.s / (1.2 + p.s)) AS sc
+       |  FROM pseudo p JOIN dfs USING (term) CROSS JOIN tx_stats st
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT doc_id, round(sc, 4) AS score_r4 FROM scored
+       |ORDER BY sc DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** ES rescore twin: final = qw·bm25(top-window) + rw·length-prior
     * (semantics pinned in SearchEngine.rescoreTopK).
     */

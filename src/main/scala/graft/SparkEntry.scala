@@ -138,6 +138,13 @@ object SparkEntry {
       SearchEngine.multiMatchTopK(s, tx.paths.root, ti.paths.root,
         Seq("join", "window", "vector"), K, titleBoost = 1.5)
     }),
+    // BM25F: field-weighted tf summed before saturation (title weight 3x)
+    "bm25f_topk" -> ((s, dir) => {
+      val tx = IndexCache.documentsIndex(s, dir)
+      val ti = IndexCache.titleIndex(s, dir)
+      graft.search.Bm25F.topK(s, tx.paths.root, ti.paths.root,
+        Seq("join", "window", "vector"), K)
+    }),
     // ES term suggester: corrections for a misspelled term, dictionary-only
     "suggest_term" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -356,6 +363,7 @@ object SparkEntry {
       minTf = 1, minDf = 2),
     "query_wildcard" -> OracleSql.wildcardDocs("*or*"),
     "suggest_term" -> OracleSql.suggest("jion", 5, 2),
+    "bm25f_topk" -> OracleSql.bm25fTopK(Seq("join", "window", "vector"), K, 1.0, 3.0),
     "bm25_multi_match" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5),
     "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
     "index_stats" -> OracleSql.indexStats,
