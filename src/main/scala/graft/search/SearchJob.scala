@@ -43,7 +43,8 @@ object SearchJob {
       filters: Seq[String] = Nil,
       explain: Boolean = false,
       corpus: String = "",
-      seed: Long = -1L)
+      seed: Long = -1L,
+      groupByConv: String = "")
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -67,6 +68,7 @@ object SearchJob {
         case "--explain" => a = a.copy(explain = true); i += 1
         case "--corpus" => a = a.copy(corpus = argv(i + 1)); i += 2
         case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
+        case "--group-by-conv" => a = a.copy(groupByConv = argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -80,6 +82,11 @@ object SearchJob {
       "--mode mlt requires --seed (--corpus optional: defaults to the index's own corpus)")
     require(!a.explain || (a.from == 0 && a.after.isEmpty),
       "--explain reports the plain top-k; drop --from/--after")
+    require(a.groupByConv.isEmpty || Set("max", "sum")(a.groupByConv),
+      "--group-by-conv takes max or sum")
+    require(a.groupByConv.isEmpty || (a.mode == "wand" && !a.explain &&
+      a.from == 0 && a.after.isEmpty && !a.hydrate),
+      "--group-by-conv composes only with plain wand search (no --hydrate: results are conversations)")
     a
   }
 
@@ -91,6 +98,10 @@ object SearchJob {
     spark.sparkContext.setLogLevel("WARN")
     val terms = a.query.split("\\s+").toSeq.filter(_.nonEmpty)
     val hits = a.mode match {
+      case "wand" if a.groupByConv == "max" =>
+        Conversations.topByMax(spark, a.index, terms, a.k)
+      case "wand" if a.groupByConv == "sum" =>
+        Conversations.topBySum(spark, a.index, terms, a.k)
       case "wand" if a.explain =>
         SearchEngine.explainTopK(spark, a.index, terms, a.k)
       case "wand" if a.from > 0 =>
