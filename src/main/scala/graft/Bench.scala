@@ -33,6 +33,7 @@ object Bench {
     IndexCache.deletedIndex(spark, sfDir, Seq("stream")) // tombstoned variant
     IndexCache.purgedIndex(spark, sfDir, Seq("stream"))  // expunge-merged variant
     IndexCache.titleIndex(spark, sfDir)                  // multi_match subfield
+    IndexCache.ivf(spark, sfDir)                         // IVF coarse quantizer
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

@@ -112,6 +112,24 @@ object IndexCache {
       })
     }
 
+  private val ivfBuilt = scala.collection.mutable.Map[String, (Array[Array[Double]], String)]()
+
+  /** IVF coarse quantizer + persisted list assignment over `embeddings` —
+    * trained/assigned once per corpus (the FAISS offline-train shape).
+    */
+  def ivf(spark: SparkSession, sfDir: String, nlist: Int = 16)
+      : (Array[Array[Double]], String) = synchronized {
+    ivfBuilt.getOrElseUpdate(s"$sfDir#$nlist", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft-index-$jvmTag/$key/ivf_lists_$nlist"
+      val centroids = graft.operators.Ivf.trainCentroids(spark, sfDir, nlist)
+      graft.operators.Ivf
+        .assignLists(Catalog.readTable(spark, sfDir, "embeddings"), centroids)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      (centroids, path)
+    })
+  }
+
   private val posBuilt = scala.collection.mutable.Set[String]()
 
   /** Positional index over the same corpus/root (built on first use). */

@@ -275,6 +275,13 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir, 2048L)),
     // --- training-data pipeline: similarity search ---------------------------
     "emb_cosine_topk" -> ((s, dir) => Embeddings.cosineTopK(s, dir, 0L, K)),
+    // IVF ANN (FAISS coarse-quantizer shape): rows-only check — the trained
+    // k-means centroids are deterministic but not SQL-expressible; IvfSpec
+    // pins determinism, candidate-exactness, and measured recall
+    "ann_ivf_topk" -> ((s, dir) => {
+      val (centroids, lists) = IndexCache.ivf(s, dir)
+      graft.operators.Ivf.annTopK(s, dir, 0L, K, centroids, nprobe = 4, lists)
+    }),
     "ann_lsh_topk" -> ((s, dir) =>
       Embeddings.annLshTopK(s, dir, 0L, K,
         bucketsPath = Some(IndexCache.lshBucketsPath(s, dir)))),

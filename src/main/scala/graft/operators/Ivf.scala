@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Catalog
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path (the FAISS IVF-flat shape), complementing the LSH path
+  * ([[Embeddings.annLshTopK]]):
+  *
+  *   - TRAIN: k-means centroids over a bounded, deterministic sample (the
+  *     `sampleCap` lowest vec_ids), Lloyd iterations on the driver —
+  *     exactly how FAISS trains its coarse quantizer offline. Deterministic
+  *     end to end: sample, init (first k sample rows), iteration count, and
+  *     tie-breaks are all fixed, so the centroid set is replayable.
+  *   - ASSIGN: one narrow typed pass tags every vector with its nearest
+  *     centroid (no shuffle — same plan shape as the LSH bucketing);
+  *     the (vec_id, list_id) table persists once per corpus.
+  *   - PROBE: the query vector picks its `nprobe` nearest centroids on the
+  *     driver (k × dims floats), and only those lists' vectors get exact
+  *     cosine — candidates ≈ nprobe/nlist of the corpus, never all of it.
+  */
+object Ivf {
+
+  private def dist2(a: Array[Double], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd k-means over the `sampleCap` lowest-id vectors. */
+  def trainCentroids(spark: SparkSession, sfDir: String, nlist: Int,
+      iters: Int = 5, sampleCap: Int = 4096): Array[Array[Double]] = {
+    import spark.implicits._
+    val sample = Catalog.readTable(spark, sfDir, "embeddings")
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .orderBy($"vec_id")
+      .limit(sampleCap)
+      .collect().map(_._2)
+    require(sample.length >= nlist, s"need >= $nlist training vectors")
+    val dims = sample.head.length
+    var centroids = Array.tabulate(nlist)(i => sample(i).map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dims))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          val d = dist2(centroids(c), v)
+          if (d < bd) { bd = d; best = c } // strict <: lowest index wins ties
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dims) { s(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Assign every vector to its nearest centroid: one narrow pass. */
+  def assignLists(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val d = dist2(cs(c), e)
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          (id, best)
+        }
+      }
+      .toDF("vec_id", "list_id")
+  }
+
+  /** IVF top-k cosine: scan only the probe's `nprobe` nearest lists. */
+  def annTopK(spark: SparkSession, sfDir: String, probeId: Long, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      listsPath: String): DataFrame = {
+    import spark.implicits._
+    val emb = Catalog.readTable(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val pe = emb.filter($"vec_id" === probeId)
+      .select($"embedding").as[Array[Float]].head()
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) => (dist2(c, pe), i) }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2)
+    val dot = "aggregate(zip_with(embedding, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val n2 = "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val p2 = "aggregate(zip_with(pe, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val cands = spark.read.parquet(listsPath)
+      .filter($"list_id".isin(probeLists.map(Integer.valueOf): _*)) // pushed to the scan
+      .select($"vec_id")
+    emb.join(cands, "vec_id")
+      .filter($"vec_id" =!= probeId)
+      .join(broadcast(emb.filter($"vec_id" === probeId).select($"embedding".as("pe"))))
+      .select($"vec_id",
+        round(expr(dot) / (sqrt(expr(n2)) * sqrt(expr(p2))), 6).as("cos_r6"))
+      .orderBy($"cos_r6".desc, $"vec_id".asc)
+      .limit(k)
+  }
+}
