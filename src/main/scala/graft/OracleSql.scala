@@ -159,7 +159,8 @@ object OracleSql {
     * windows candidates must reproduce this, which is the pinned exactness
     * claim (SearchEngine.multiMatchTopK).
     */
-  def multiMatchTopK(terms: Seq[String], k: Int, titleBoost: Double): String = {
+  def multiMatchTopK(terms: Seq[String], k: Int, titleBoost: Double,
+      tieBreaker: Double = 0.0): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
     def fieldScores(alias: String, toksExpr: String) =
       s"""${alias}_dls AS (
@@ -185,9 +186,11 @@ object OracleSql {
     s"""WITH ${fieldScores("tx", toks("text"))},
        |${fieldScores("ti", s"list_slice(${toks("text")}, 1, 8)")}
        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-       |       round(greatest(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0)), 4) AS score_r4
+       |       round(greatest(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0))
+       |             + $tieBreaker * least(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0)), 4) AS score_r4
        |FROM tx_s a FULL OUTER JOIN ti_s b ON a.doc_id = b.doc_id
-       |ORDER BY greatest(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0)) DESC,
+       |ORDER BY greatest(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0))
+       |         + $tieBreaker * least(coalesce(a.score, 0), coalesce($titleBoost * b.score, 0)) DESC,
        |         coalesce(a.doc_id, b.doc_id) ASC
        |LIMIT $k""".stripMargin
   }

@@ -145,6 +145,13 @@ object SparkEntry {
       graft.search.Bm25F.topK(s, tx.paths.root, ti.paths.root,
         Seq("join", "window", "vector"), K)
     }),
+    // dis_max with tie_breaker: max + 0.3*min of the per-field scores
+    "bm25_dis_max_tb" -> ((s, dir) => {
+      val tx = IndexCache.documentsIndex(s, dir)
+      val ti = IndexCache.titleIndex(s, dir)
+      SearchEngine.multiMatchTopK(s, tx.paths.root, ti.paths.root,
+        Seq("join", "window", "vector"), K, titleBoost = 1.5, tieBreaker = 0.3)
+    }),
     // ES term suggester: corrections for a misspelled term, dictionary-only
     "suggest_term" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -372,6 +379,7 @@ object SparkEntry {
     "suggest_term" -> OracleSql.suggest("jion", 5, 2),
     "bm25f_topk" -> OracleSql.bm25fTopK(Seq("join", "window", "vector"), K, 1.0, 3.0),
     "bm25_multi_match" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5),
+    "bm25_dis_max_tb" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5, 0.3),
     "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
     "index_stats" -> OracleSql.indexStats,
     "bm25_deleted" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,

@@ -339,9 +339,10 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
-  /** ES `multi_match` (best_fields / dis_max, tie_breaker 0): per-field
+  /** ES `multi_match` (best_fields / dis_max, with `tie_breaker`): per-field
     * BM25 with each field's OWN statistics (df/dl/avgdl — ES per-field
-    * similarity), combined per doc as max(text, boost·title), top-k.
+    * similarity), combined per doc as max + tie_breaker·min of the field
+    * scores (tie_breaker 0 = pure dis_max), top-k.
     *
     * EXACT, with bounded work: candidates are the union of the two
     * per-field WAND top-`w` windows, fused on the driver (≤ 2w rows, the
@@ -356,28 +357,93 @@ object SearchEngine {
     */
   def multiMatchTopK(spark: SparkSession, textRoot: String, titleRoot: String,
       rawTerms: Seq[String], k: Int, titleBoost: Double = 1.0,
-      windowOpt: Int = -1): DataFrame = {
+      windowOpt: Int = -1, tieBreaker: Double = 0.0): DataFrame = {
     import spark.implicits._
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tie_breaker in [0,1], as ES")
+    def combine(a: Double, b: Double): Double =
+      math.max(a, b) + tieBreaker * math.min(a, b)
     var w = math.max(k, if (windowOpt > 0) windowOpt else k + 8)
     while (true) {
       val txt = topKWand(spark, textRoot, rawTerms, w).as[Hit].collect()
       val ttl = topKWand(spark, titleRoot, rawTerms, w).as[Hit].collect()
         .map(h => Hit(h.doc_id, titleBoost * h.score))
-      val fused = (txt ++ ttl).groupBy(_.doc_id).view
-        .mapValues(_.map(_.score).max).toSeq
+      var txtByDoc = txt.map(h => h.doc_id -> h.score).toMap
+      var ttlByDoc = ttl.map(h => h.doc_id -> h.score).toMap
+      if (tieBreaker > 0.0) {
+        // with a tie_breaker, BOTH field scores enter every candidate's
+        // combined value — a candidate outside one field's window has an
+        // unknown (nonzero!) score there; a zero-fill understates it (the
+        // dis_max case is immune: max only needs the ranking field). Fill
+        // the missing side with a targeted exact lookup over the candidate
+        // docID set (the explainTopK shape: pruned scan ∩ broadcast set).
+        val union = txtByDoc.keySet ++ ttlByDoc.keySet
+        val missTxt = (union -- txtByDoc.keySet).toArray
+        val missTtl = (union -- ttlByDoc.keySet).toArray
+        if (missTxt.nonEmpty)
+          txtByDoc ++= scoreDocsExact(spark, textRoot, rawTerms, missTxt)
+        if (missTtl.nonEmpty)
+          ttlByDoc ++= scoreDocsExact(spark, titleRoot, rawTerms, missTtl)
+            .view.mapValues(_ * titleBoost).toMap
+      }
+      val fused = (txtByDoc.keySet ++ ttlByDoc.keySet).toSeq
+        .map(d => (d, combine(txtByDoc.getOrElse(d, 0.0), ttlByDoc.getOrElse(d, 0.0))))
         .sortBy { case (d, s) => (-s, d) }
         .take(k)
-      // fused.size < k ⟹ both windows under w ⟹ all matching docs seen
+      // fused.size < k ⟹ both windows under w ⟹ all matching docs seen.
+      // An UNSEEN doc (outside both windows) is bounded per field by the
+      // FULL window's boundary score — and by 0 when that field's window is
+      // non-full (then every doc matching the field was seen).
       val thetaC = if (fused.size < k) Double.NegativeInfinity else fused.last._2
-      val txtOk = txt.length < w || txt.last.score < thetaC
-      val ttlOk = ttl.length < w || ttl.last.score < thetaC
-      if ((txtOk && ttlOk) || fused.size < k)
+      val effTxt = if (txt.length < w) 0.0 else txt.last.score
+      val effTtl = if (ttl.length < w) 0.0 else ttl.last.score
+      if (combine(effTxt, effTtl) < thetaC || fused.size < k ||
+          (txt.length < w && ttl.length < w))
         return spark.createDataset(fused).toDF("doc_id", "score")
           .select($"doc_id", round($"score", 4).as("score_r4"))
           .orderBy($"score_r4".desc, $"doc_id".asc)
       w *= 4
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Exact BM25 scores for a specific (small, broadcast) docID set — the
+    * targeted-lookup shape shared with explainTopK: the pruned postings
+    * scan with per-posting membership filtering; only |docIds| rows leave.
+    */
+  private def scoreDocsExact(spark: SparkSession, root: String,
+      rawTerms: Seq[String], docIds: Array[Long]): Map[Long, Double] = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val qm = queryModel(spark, paths, rawTerms, 1)
+    if (qm.isEmpty || docIds.isEmpty) return Map.empty
+    val sorted = docIds.sorted
+    val bcQm = spark.sparkContext.broadcast(qm)
+    val bcDocs = spark.sparkContext.broadcast(sorted)
+    queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
+      .flatMap { b =>
+        val qmv = bcQm.value
+        val docs = bcDocs.value
+        val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
+        if (ti < 0) Iterator.empty
+        else {
+          val idf = qmv.idfs(ti)
+          val d = Blocks.decode(b)
+          (0 until d.docs.length).iterator
+            .filter(i => java.util.Arrays.binarySearch(docs, d.docs(i)) >= 0)
+            .map(i => (d.docs(i), ti,
+              idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, qmv.avgdl)))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val arr = it.toArray.sortBy(_._2) // fixed summation order
+        var s = 0.0
+        var i = 0
+        while (i < arr.length) { s += arr(i)._3; i += 1 }
+        (doc, s)
+      }
+      .collect().toMap
   }
 
   /** ES `rescore`: re-rank the top-`window` WAND candidates with a secondary

@@ -16,15 +16,17 @@ class MultiMatchSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def exhaustive(textRoot: String, titleRoot: String,
-      q: Seq[String], k: Int, boost: Double): Seq[(Long, Double)] = {
+      q: Seq[String], k: Int, boost: Double, tb: Double = 0.0): Seq[(Long, Double)] = {
     import spark.implicits._
     val a = SearchEngine.scoreAllDocs(spark, textRoot, q)
       .select($"doc_id", $"score".as("s_text"))
     val b = SearchEngine.scoreAllDocs(spark, titleRoot, q)
       .select($"doc_id", (lit(boost) * $"score").as("s_title"))
+    val sa = coalesce($"s_text", lit(0.0))
+    val sb = coalesce($"s_title", lit(0.0))
     a.join(b, Seq("doc_id"), "full_outer")
       .select($"doc_id",
-        greatest(coalesce($"s_text", lit(0.0)), coalesce($"s_title", lit(0.0))).as("s"))
+        (greatest(sa, sb) + lit(tb) * least(sa, sb)).as("s"))
       .orderBy($"s".desc, $"doc_id".asc).limit(k)
       .select($"doc_id", round($"s", 4).as("r"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -42,6 +44,19 @@ class MultiMatchSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val want = exhaustive(tx.paths.root, ti.paths.root, q, k, boost)
       assert(got == want, s"q=$q boost=$boost k=$k")
+    }
+  }
+
+  test("tie_breaker: windowed fusion with missing-side fills equals exhaustive") {
+    val tx = IndexCache.documentsIndex(spark, sfDir)
+    val ti = IndexCache.titleIndex(spark, sfDir)
+    val queries = Seq(Seq("join", "window", "vector"), Seq("join", "hash"), Seq("the", "a", "join"))
+    for (q <- queries; tb <- Seq(0.3, 1.0); k <- Seq(5, 15)) {
+      val got = SearchEngine.multiMatchTopK(spark, tx.paths.root, ti.paths.root,
+          q, k, titleBoost = 1.5, tieBreaker = tb)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = exhaustive(tx.paths.root, ti.paths.root, q, k, 1.5, tb)
+      assert(got == want, s"q=$q tb=$tb k=$k")
     }
   }
 
