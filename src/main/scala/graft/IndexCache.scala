@@ -51,7 +51,11 @@ object IndexCache {
       delTerms: Seq[String]): Indexer.BuildResult = synchronized {
     built.getOrElseUpdate(s"$sfDir#deleted#${delTerms.mkString(",")}", {
       val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val root = s"/tmp/graft-index-$jvmTag/$key/documents_deleted"
+      // root carries the delTerms hash like the cache key: two variants in
+      // one JVM would otherwise share a root where the first variant's
+      // published deletes pointer survives the second's rebuild (ADVICE r3)
+      val root = s"/tmp/graft-index-$jvmTag/$key/" +
+        s"documents_deleted_${delTerms.mkString(",").hashCode.toHexString}"
       val res = Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
         buckets = Buckets, targetRun = TargetRun)
       graft.index.Deletes.deleteByQuery(spark, root, delTerms)
@@ -66,7 +70,8 @@ object IndexCache {
       delTerms: Seq[String]): Indexer.BuildResult = synchronized {
     built.getOrElseUpdate(s"$sfDir#purged#${delTerms.mkString(",")}", {
       val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val root = s"/tmp/graft-index-$jvmTag/$key/documents_purged"
+      val root = s"/tmp/graft-index-$jvmTag/$key/" +
+        s"documents_purged_${delTerms.mkString(",").hashCode.toHexString}"
       val res = Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
         buckets = Buckets, targetRun = TargetRun)
       graft.index.Deletes.deleteByQuery(spark, root, delTerms)

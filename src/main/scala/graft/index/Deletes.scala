@@ -119,8 +119,14 @@ object Deletes {
     // pass A: per-doc lengths of the tombstoned docs still present in the
     // postings (dl repeats identically across a doc's terms → distinct).
     // Coarse docID-range prune runs in the scan; exact membership inside.
+    // Synthetic keyword `field:value` rows (KeywordIndex, dl=1) are excluded
+    // — a deleted doc with a keyword field would otherwise contribute TWO
+    // distinct (doc_id, dl) pairs and double-count delDocs/delTokens,
+    // corrupting n_docs/avgdl and every post-purge BM25 score (same ':'
+    // exclusion the dictionary rebuild below applies).
     val (minDel, maxDel) = (deleted.head, deleted.last)
     val delRow = Catalog.readPostings(spark, paths)
+      .filter(!$"term".contains(":"))
       .filter($"last_doc" >= minDel && $"first_doc" <= maxDel)
       .flatMap { b =>
         val del = bcDel.value

@@ -130,6 +130,49 @@ class DeletesSpec extends AnyFunSuite {
     } finally Fs.delete(root)
   }
 
+  test("purge on a keyword-field index: stats counted from text postings only") {
+    import spark.implicits._
+    // ADVICE r3 (high): keyword `field:value` rows (dl=1) carried through
+    // purge made pass A's distinct (doc_id, dl) double-count every deleted
+    // doc that had a keyword field — n_docs/total_tokens/avgdl drifted and
+    // every post-purge BM25 score was wrong. Pin: purge over a
+    // --keyword-field index reproduces a live-only rebuild's stats exactly.
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val root = s"/tmp/graft-delkw-$tag"
+    val dt = delTerm
+    val live = Catalog.readDocuments(spark, sfDir)
+      .filter(d => !graft.core.Analyzer.tokenize(d.text).contains(dt))
+    val freshRoot = s"/tmp/graft-delkw-fresh-$tag"
+    try {
+      Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+        buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+      KeywordIndex.add(spark, root,
+        Catalog.readTable(spark, sfDir, "documents"), "source")
+      Deletes.deleteByQuery(spark, root, Seq(delTerm))
+      Deletes.purge(spark, root)
+
+      val fresh = Indexer.buildFromDocs(live, freshRoot,
+        buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+      val ps = Catalog.readCorpusStats(spark, IndexPaths(root))
+      assert(ps.n_docs == fresh.stats.n_docs,
+        "keyword rows must not inflate the deleted-doc count in purge pass A")
+      assert(ps.total_tokens == fresh.stats.total_tokens)
+      assert(math.abs(ps.avgdl - fresh.stats.avgdl) < 1e-12)
+      assert(hits(SearchEngine.topKWandRounded(spark, root, q, 10)) ==
+        hits(SearchEngine.topKWandRounded(spark, freshRoot, q, 10)),
+        "post-purge scores must equal a live-only rebuild's")
+      // keyword postings survived the rewrite and still filter
+      val kwDocs = graft.search.Booleans
+        .or(spark, root, Seq(KeywordIndex.fieldTerm("source", "wiki")))
+        .select($"doc_id").as[Long].collect().toSet
+      val wantKw = Catalog.readTable(spark, sfDir, "documents")
+        .filter($"source" === "wiki").select($"doc_id").as[Long].collect().toSet
+      val liveIds = live.select($"doc_id").as[Long].collect().toSet
+      assert(kwDocs == wantKw.intersect(liveIds),
+        "keyword filter postings must survive purge (minus purged docs)")
+    } finally { Fs.delete(root); Fs.delete(freshRoot) }
+  }
+
   test("purge: query-identical to an index freshly built over the live corpus") {
     import spark.implicits._
     val purged = IndexCache.purgedIndex(spark, sfDir, Seq(delTerm))
