@@ -125,6 +125,23 @@ object DocIds {
   def denseIds(df: DataFrame, sortCols: Seq[String], numPartitions: Int): DataFrame =
     denseIdsCore(df, sortCols, numPartitions, None)._1
 
+  /** [[assignWithStats]] + the per-part docID offsets (sentinel-terminated:
+    * offsets(P) = N). The returned Dataset is the POST-EXCHANGE corpus —
+    * each shuffle partition holds whole `__part` groups sorted by key, i.e.
+    * whole ascending docID ranges — so a caller that persists it can run
+    * cell-aligned SPIMI inversion directly on those partitions without a
+    * second corpus exchange (round-4: the docid range exchange and the SPIMI
+    * grid exchange collapse into ONE corpus-sized shuffle per build).
+    */
+  def assignWithStatsOffsets(turns: Dataset[Turn], numPartitions: Int)
+      : (Dataset[NumberedTurn], CorpusStats, Array[Long]) = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val (df, stats, offsets) =
+      denseIdsCore(turns.toDF(), Seq("conv_id", "turn_idx"), numPartitions, Some("text"))
+    (df.withColumnRenamed("rid", "doc_id").as[NumberedTurn], stats.get, offsets)
+  }
+
   /** [[denseIds]] + whole-corpus token stats computed IN the same passes —
     * no extra corpus scan: the exact per-part histogram pass additionally
     * sums per-part analyzed token counts over `textCol` (the assignment
@@ -135,12 +152,13 @@ object DocIds {
     */
   def denseIdsWithStats(df: DataFrame, sortCols: Seq[String],
       numPartitions: Int, textCol: String): (DataFrame, CorpusStats) = {
-    val (out, stats) = denseIdsCore(df, sortCols, numPartitions, Some(textCol))
+    val (out, stats, _) = denseIdsCore(df, sortCols, numPartitions, Some(textCol))
     (out, stats.get)
   }
 
   private def denseIdsCore(df: DataFrame, sortCols: Seq[String],
-      numPartitions: Int, textCol: Option[String]): (DataFrame, Option[CorpusStats]) = {
+      numPartitions: Int, textCol: Option[String])
+      : (DataFrame, Option[CorpusStats], Array[Long]) = {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
@@ -185,7 +203,10 @@ object DocIds {
           Some(CorpusStats(totalRows, tot,
             if (totalRows == 0) 0.0 else tot.toDouble / totalRows)))
     }
-    val offsets = new Array[Long](numParts)
+    // offsets carry a sentinel end entry: offsets(p) = first docID of part p,
+    // offsets(numParts) = totalRows — callers that sub-divide parts into
+    // docID-aligned SPIMI cells (IndexBuildJob) read part spans from it
+    val offsets = new Array[Long](numParts + 1)
     var acc = 0L
     var i = 0
     while (i < numParts) {
@@ -193,6 +214,7 @@ object DocIds {
       acc += counts.getOrElse(i, 0L)
       i += 1
     }
+    offsets(numParts) = acc
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
     val outSchema = StructType(StructField("rid", LongType, nullable = false) +: df.schema.fields)
@@ -212,7 +234,7 @@ object DocIds {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .select(col("rid") +: df.columns.map(col): _*)
-    (out, stats)
+    (out, stats, offsets)
   }
 
   def assign(turns: Dataset[Turn], numPartitions: Int): Dataset[NumberedTurn] = {

@@ -23,19 +23,27 @@ import graft.model._
   * missing — so corrupting/altering any upstream output cascades re-runs
   * downstream, and an untouched prefix is skipped byte-for-byte.
   *
-  * Stages and their exchanges (2 corpus-sized shuffles total — the scaling
-  * story; raw TF rows never cross an exchange):
+  * Stages and their exchanges (ONE corpus-sized shuffle total — round 4 cut
+  * the former second one; raw TF rows never cross an exchange):
   *   S1 docid_assign  range-exchange on (conv_id, turn_idx) → corpus_sorted,
-  *                    docid_map, corpus_stats. Corpus stats (avgdl must
-  *                    precede encoding — block-max bounds need it) ride the
-  *                    assignment's own histogram pass (DocIds
-  *                    .assignWithStats), so the former separate stats stage
-  *                    — a whole extra read of the written corpus — is gone.
-  *   S2 spimi         doc-range grid exchange of the corpus (uniform key ⇒
-  *                    skew-free), per-cell in-memory SPIMI inversion,
-  *                    compressed runs → postings (bucketed). This is the
-  *                    docID-range salting of the north star applied at the
-  *                    corpus exchange instead of per-TF-row.
+  *                    docid_map, corpus_stats, grid_bounds. Corpus stats
+  *                    (avgdl must precede encoding — block-max bounds need
+  *                    it) ride the assignment's own histogram pass, so no
+  *                    separate stats read exists. The exchanged corpus is
+  *                    persisted (DISK_ONLY) across the stage boundary: its
+  *                    partitions hold whole ascending docID ranges, which is
+  *                    exactly the co-location SPIMI needs.
+  *   S2 spimi         NO exchange on the cold path: per-cell in-memory SPIMI
+  *                    inversion runs directly on the persisted S1 partitions
+  *                    (cells are part-aligned docID ranges — Spimi
+  *                    .cellStarts — so each cell is whole and contiguous
+  *                    there). Skew-free by construction: cell key = doc
+  *                    range, never the term (the docID-range salting of the
+  *                    north star applied at the corpus exchange). Only a
+  *                    RESUMED build (corpus_sorted complete, postings not)
+  *                    re-exchanges, keyed by the content-determined part
+  *                    index from grid_bounds — identical cells, identical
+  *                    blocks (ResumeSpec pins this).
   *   S3 finalize      the term-keyed merge: metadata-only groupBy over block
   *                    headers (payloads pruned) → dictionary, meta
   */
@@ -132,6 +140,10 @@ object IndexBuildJob {
     }
 
     // ---- S1: docID assignment --------------------------------------------
+    // The ONE corpus exchange of the build. The exchanged dataset is kept
+    // persisted so S2's inversion reads these partitions back instead of
+    // re-exchanging ~40× more bytes than the key columns that defined them.
+    var exchanged: Option[Dataset[NumberedTurn]] = None
     val inputFp = Catalog.fingerprint(a.input)
     stage("docid_assign", inputFp, paths.corpusSorted) {
       val turns = a.format match {
@@ -142,31 +154,42 @@ object IndexBuildJob {
         case "transcript" => graft.io.TranscriptJsonl.readTurns(spark, a.input)
         case f => throw new IllegalArgumentException(s"unknown format $f")
       }
-      val (numbered, stats) = DocIds.assignWithStats(turns, parts)
-      numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
+      val (numbered, stats, offsets) = DocIds.assignWithStatsOffsets(turns, parts)
+      val cached = numbered.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      cached.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
+      exchanged = Some(cached)
       // docid_map from the just-written corpus: a column-pruned parquet scan
       // (3 narrow columns) instead of re-running the assignment pipeline
       Catalog.writeDocidMap(DocIds.toDocidMap(Catalog.readNumbered(spark, paths)), paths)
       // corpus stats came from the assignment's own passes — no extra read
       Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
+      Catalog.writeGridBounds(spark, paths, offsets, Spimi.cellStarts(offsets, a.targetRun))
     }
 
     // docIDs are dense 0..N−1 by construction (DocIds.assign)
     lazy val docIdSpace = Catalog.readCorpusStats(spark, paths).n_docs
 
-    // ---- S2: grid SPIMI + bucketed sink ------------------------------------
-    // One doc-range corpus exchange; in-memory inversion per grid cell;
-    // compressed runs out. Skew-free by construction (Spimi.buildBlocksGrid).
+    // ---- S2: SPIMI inversion + bucketed sink -------------------------------
+    // Cold path: invert the persisted S1 partitions in place (zero exchange).
+    // Resume path (S1 skipped): re-co-locate cells with one exchange keyed by
+    // the stored content-determined part geometry. Cells — hence blocks —
+    // are identical either way (part-aligned docID ranges from grid_bounds).
     val s1Fp = Catalog.fingerprint(paths.corpusSorted)
-    val s2Fp = s1Fp + "+" + Catalog.fingerprint(paths.corpusStats)
+    val s2Fp = s1Fp + "+" + Catalog.fingerprint(paths.corpusStats) +
+      "+" + Catalog.fingerprint(paths.gridBounds)
     stage("spimi", s2Fp, paths.postings) {
-      val docs = Catalog.readNumbered(spark, paths).map(t => Doc(t.doc_id, t.text))
       val stats = Catalog.readCorpusStats(spark, paths)
-      val grids = math.max(parts * 2,
-        math.min(1 << 20, (docIdSpace / math.max(1L, a.targetRun)).toInt + 1))
-      Catalog.writePostings(
-        Spimi.buildBlocksGrid(docs, stats.avgdl, a.buckets, grids, docIdSpace, parts), paths)
+      val (offsets, starts) = Catalog.readGridBounds(spark, paths)
+      val blocks = exchanged match {
+        case Some(cached) =>
+          Spimi.buildBlocksAligned(cached, starts, stats.avgdl, a.buckets)
+        case None =>
+          Spimi.buildBlocksAlignedExchange(Catalog.readNumbered(spark, paths),
+            offsets, starts, stats.avgdl, a.buckets, parts)
+      }
+      Catalog.writePostings(blocks, paths)
     }
+    exchanged.foreach(_.unpersist(blocking = false))
 
     // ---- S3: dictionary + meta — the term-keyed merge, metadata-only -------
     val s3Fp = Catalog.fingerprint(paths.postings)

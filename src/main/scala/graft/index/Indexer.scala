@@ -94,7 +94,9 @@ object Indexer {
   }
 
   /** Transcript-corpus build: S1 docID assignment first, docid_map written
-    * alongside the segments.
+    * alongside the segments. Like IndexBuildJob, the assignment's exchange is
+    * the build's ONLY corpus exchange — SPIMI inverts the persisted
+    * post-assignment partitions in place (part-aligned cells, round 4).
     */
   def buildFromTurns(
       turns: Dataset[Turn],
@@ -105,14 +107,26 @@ object Indexer {
     val spark = turns.sparkSession
     import spark.implicits._
     val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val (assigned, stats) = DocIds.assignWithStats(turns, numPartitions)
+    val (assigned, stats, offsets) = DocIds.assignWithStatsOffsets(turns, numPartitions)
     val numbered = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     val paths = IndexPaths(root)
     Catalog.writeDocidMap(DocIds.toDocidMap(numbered), paths)
-    val res = buildFromDocs(numbered.map(t => Doc(t.doc_id, t.text)), root, buckets,
-      targetRun, Some(numPartitions), Some(stats))
+
+    val starts = Spimi.cellStarts(offsets, targetRun)
+    Catalog.writePostings(
+      Spimi.buildBlocksAligned(numbered, starts, stats.avgdl, buckets), paths)
+    val dict = spark.read.parquet(paths.postings)
+      .groupBy($"term")
+      .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
+        max($"max_tf_norm").as("max_tf_norm"))
+      .select($"term", $"df", $"cf", $"max_tf_norm")
+      .as[DictEntry]
+    Catalog.writeDictionary(dict, paths)
+    Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
+    val meta = IndexMeta(buckets, targetRun, stats.n_docs)
+    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
     numbered.unpersist(blocking = false)
-    res
+    BuildResult(paths, stats, meta)
   }
 
   def readMeta(spark: SparkSession, root: String): IndexMeta = {

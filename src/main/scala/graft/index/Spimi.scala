@@ -157,6 +157,91 @@ object Spimi {
       .mapPartitions(rows => new GridSpimiIterator(rows, avgdl, buckets))
   }
 
+  /** Part-aligned SPIMI cell boundaries: each docID-assignment part
+    * [offsets(p), offsets(p+1)) is sub-divided into ≥2 equal-width cells of
+    * ≤ `targetRun` docs. Cells never cross a part boundary, so every cell is
+    * wholly contained — and contiguous, key-sorted — inside one partition of
+    * the post-assignment exchange ([[DocIds.assignWithStatsOffsets]]): the
+    * inversion can run directly on those partitions with NO second corpus
+    * exchange. run_id = global cell index ⇒ a term's runs still cover
+    * disjoint ascending docID ranges (the WAND/merge invariant), exactly as
+    * with the equal-width grid of [[buildBlocksGrid]]. Pure driver
+    * arithmetic over the P-entry offsets array — content-determined, so
+    * resumed builds re-derive identical cells.
+    */
+  def cellStarts(offsets: Array[Long], targetRun: Long): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var p = 0
+    while (p + 1 < offsets.length) {
+      val start = offsets(p)
+      val span = offsets(p + 1) - start
+      if (span > 0) {
+        val nc = math.min(span, math.max(2L, (span + targetRun - 1) / targetRun))
+        val w = (span + nc - 1) / nc
+        var s = start
+        while (s < offsets(p + 1)) { out += s; s += w }
+      }
+      p += 1
+    }
+    out.toArray
+  }
+
+  /** Inversion WITHOUT a corpus exchange: `numbered` must already have each
+    * docID-aligned cell whole and contiguous within its partitions with
+    * doc_ids ascending (the persisted output of DocIds.assignWithStatsOffsets
+    * satisfies this: partitions hold whole part groups sorted by (part, key),
+    * and part order = docID order). The cell pointer advances monotonically;
+    * a jump (hash-scattered part boundaries) re-seats via binary search.
+    */
+  def buildBlocksAligned(
+      numbered: Dataset[graft.model.NumberedTurn],
+      starts: Array[Long],
+      avgdl: Double,
+      buckets: Int): Dataset[PostingBlock] = {
+    import numbered.sparkSession.implicits._
+    val bc = numbered.sparkSession.sparkContext.broadcast(starts)
+    numbered.mapPartitions { it =>
+      val cs = bc.value
+      var cur = 0
+      val cells = it.map { t =>
+        val in = cur < cs.length && t.doc_id >= cs(cur) &&
+          (cur + 1 >= cs.length || t.doc_id < cs(cur + 1))
+        if (!in) {
+          val i = java.util.Arrays.binarySearch(cs, t.doc_id)
+          cur = if (i >= 0) i else -i - 2
+        }
+        (cur, t.doc_id, t.text)
+      }
+      new GridSpimiIterator(cells, avgdl, buckets)
+    }
+  }
+
+  /** Resume-path inversion from a written corpus_sorted: one exchange keyed
+    * by the (docID-derived, content-determined) part index co-locates each
+    * cell, then [[buildBlocksAligned]]'s iterator applies. Only runs when a
+    * build resumes past a completed docid_assign stage — the cold path feeds
+    * the persisted exchange straight through, exchange-free.
+    */
+  def buildBlocksAlignedExchange(
+      numbered: Dataset[graft.model.NumberedTurn],
+      offsets: Array[Long],
+      starts: Array[Long],
+      avgdl: Double,
+      buckets: Int,
+      numPartitions: Int): Dataset[PostingBlock] = {
+    import numbered.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // part index as a short codegen-safe chain (P terms, P = partitions)
+    val partCol = (1 until offsets.length - 1).foldLeft(lit(0)) { (acc, p) =>
+      acc + when(col("doc_id") >= lit(offsets(p)), 1).otherwise(0)
+    }
+    val exchanged = numbered.toDF()
+      .repartition(numPartitions, partCol)
+      .sortWithinPartitions(col("doc_id"))
+      .as[graft.model.NumberedTurn]
+    buildBlocksAligned(exchanged, starts, avgdl, buckets)
+  }
+
   /** Growable per-term posting buffer for one grid cell. */
   private final class PostingBuf {
     var docs = new Array[Long](8)

@@ -45,6 +45,33 @@ object Catalog {
     def docLengths: String = s"$root/doc_lengths"
     def termStats: String = s"$root/term_stats"
     def corpusSorted: String = s"$root/corpus_sorted" // S1 output (numbered turns)
+    // part offsets + SPIMI cell starts of the build's docID assignment —
+    // the resume path re-derives identical cells (hence identical blocks)
+    // from it without re-running the assignment passes
+    def gridBounds: String = s"$root/grid_bounds"
+  }
+
+  /** S1's docID-partition/cell geometry: `kind` ∈ {part, cell}, ascending
+    * start docIDs (part offsets carry the sentinel end entry last).
+    */
+  def writeGridBounds(spark: SparkSession, paths: IndexPaths,
+      offsets: Array[Long], cellStarts: Array[Long]): Unit = {
+    import spark.implicits._
+    (offsets.zipWithIndex.map { case (s, i) => ("part", i, s) } ++
+      cellStarts.zipWithIndex.map { case (s, i) => ("cell", i, s) })
+      .toSeq.toDF("kind", "idx", "start_doc")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(paths.gridBounds)
+  }
+
+  /** → (part offsets incl. sentinel, cell starts). */
+  def readGridBounds(spark: SparkSession, paths: IndexPaths): (Array[Long], Array[Long]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(paths.gridBounds)
+      .select($"kind", $"idx", $"start_doc").as[(String, Int, Long)].collect()
+    def sorted(kind: String) =
+      rows.filter(_._1 == kind).sortBy(_._2).map(_._3)
+    (sorted("part"), sorted("cell"))
   }
 
   // ---- corpus sources ------------------------------------------------------
