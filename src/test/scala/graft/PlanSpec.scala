@@ -19,6 +19,20 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("facet top_hits is bounded partial aggregation, not a window sort") {
+    // VERDICT r3: row_number().over(partitionBy(source)) shuffled every
+    // matching doc by the low-cardinality facet key and sort-ranked each
+    // facet in ONE task. The typed TopHitsAgg must show object aggregation
+    // with a map-side partial pass and no WindowExec anywhere.
+    val p = plan(graft.search.Aggregations.topHitsByFacet(
+      spark, idx.paths.root, sfDir, Seq("join", "window"), 3))
+    assert(!p.contains("Window"), s"facet top-k must not use WindowExec:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"facet top-k must run as an aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"facet top-k must have a map-side partial pass:\n$p")
+  }
+
   test("postings scan pushes term filter and prunes buckets") {
     val p = plan(SearchEngine.topKWand(spark, idx.paths.root, Seq("join", "window"), 10))
     assert(p.contains("PushedFilters") && p.contains("term"),

@@ -74,14 +74,14 @@ class EsSurfaceSpec extends AnyFunSuite {
     val rows = Aggregations.topHitsByFacet(spark, root, sfDir, q, 3).collect()
     val byBucket = rows.groupBy(_.getString(0))
     byBucket.foreach { case (_, rs) =>
-      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
-      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length))
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
       assert(scores == scores.sorted.reverse)
     }
     val top = SearchEngine.topKWandRounded(spark, root, q, 1).head()
     val topSource = Catalog.readTable(spark, sfDir, "documents")
       .filter($"doc_id" === top.getLong(0)).select($"source").as[String].head()
-    val bucketTop = rows.filter(r => r.getString(0) == topSource && r.getInt(1) == 1).head
+    val bucketTop = rows.filter(r => r.getString(0) == topSource && r.getLong(1) == 1L).head
     assert(bucketTop.getLong(2) == top.getLong(0))
   }
 }
