@@ -853,6 +853,29 @@ object OracleSql {
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
        |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
 
+  /** IVF oracle, generated from the engine's own deterministic candidate set
+    * ([[graft.operators.Ivf.lastOracle]], the percolate pattern): exact
+    * cosine top-k restricted to the vectors of the probed lists. Verifies
+    * probe selection + persisted assignment + re-scoring; k-means training
+    * determinism itself is pinned by IvfSpec.
+    */
+  def annIvfTopK(probeId: Long, k: Int, candidates: Seq[Long]): String = {
+    val in = candidates.mkString(", ")
+    s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS na,
+       |    list_sum(list_transform(range(1, len(pe) + 1),
+       |      i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS nb
+       |  FROM embeddings CROSS JOIN p
+       |  WHERE vec_id <> $probeId AND vec_id IN ($in))
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
+       |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   def annLshTopK(probeId: Long, k: Int, planes: Int = 8, dims: Int = 64): String =
     s"""WITH hp AS (
        |  SELECT i, j,

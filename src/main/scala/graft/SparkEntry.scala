@@ -282,12 +282,15 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir, 2048L)),
     // --- training-data pipeline: similarity search ---------------------------
     "emb_cosine_topk" -> ((s, dir) => Embeddings.cosineTopK(s, dir, 0L, K)),
-    // IVF ANN (FAISS coarse-quantizer shape): rows-only check — the trained
-    // k-means centroids are deterministic but not SQL-expressible; IvfSpec
-    // pins determinism, candidate-exactness, and measured recall
+    // IVF ANN (FAISS coarse-quantizer shape). The oracle is GENERATED from
+    // the engine's deterministic candidate set (record=true stashes it;
+    // Verify reads oracleSql after running queries — the percolate
+    // pattern), so probe selection, persisted assignment, and re-scoring
+    // are all DuckDB-checked; k-means train determinism is IvfSpec-pinned.
     "ann_ivf_topk" -> ((s, dir) => {
       val (centroids, lists) = IndexCache.ivf(s, dir)
-      graft.operators.Ivf.annTopK(s, dir, 0L, K, centroids, nprobe = 4, lists)
+      graft.operators.Ivf.annTopK(s, dir, 0L, K, centroids, nprobe = 4, lists,
+        record = true)
     }),
     "ann_lsh_topk" -> ((s, dir) =>
       Embeddings.annLshTopK(s, dir, 0L, K,
@@ -432,5 +435,10 @@ object SparkEntry {
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),
     "distinct_users" -> OracleSql.distinctUsers,
     "vector_norms" -> OracleSql.vectorNorms,
-  )
+  ) ++
+    // generated from engine state recorded while the query ran (Verify
+    // reads oracleSql AFTER running queries); absent → rows-only, as before
+    graft.operators.Ivf.lastOracle.map { case (probeId, k, cands) =>
+      "ann_ivf_topk" -> OracleSql.annIvfTopK(probeId, k, cands)
+    }
 }

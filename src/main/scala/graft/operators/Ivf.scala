@@ -92,10 +92,23 @@ object Ivf {
       .toDF("vec_id", "list_id")
   }
 
-  /** IVF top-k cosine: scan only the probe's `nprobe` nearest lists. */
+  /** Last recorded candidate set — (probeId, k, candidate vec_ids) — set by
+    * [[annTopK]] when `record` is on. SparkEntry.oracleSql generates the
+    * DuckDB oracle for `ann_ivf_topk` from it (exact cosine top-k restricted
+    * to the engine's own deterministic candidate set — the same
+    * generated-from-engine-state pattern as the percolate oracle): the
+    * probe selection, list assignment, and re-scoring all become DuckDB-
+    * checkable, with only the k-means training itself pinned by IvfSpec.
+    */
+  @volatile var lastOracle: Option[(Long, Int, Seq[Long])] = None
+
+  /** IVF top-k cosine: scan only the probe's `nprobe` nearest lists.
+    * `record` collects the (small: ≈ nprobe/nlist of the corpus) candidate
+    * id set for oracle generation — off on the production path.
+    */
   def annTopK(spark: SparkSession, sfDir: String, probeId: Long, k: Int,
       centroids: Array[Array[Double]], nprobe: Int,
-      listsPath: String): DataFrame = {
+      listsPath: String, record: Boolean = false): DataFrame = {
     import spark.implicits._
     val emb = Catalog.readTable(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding")
@@ -111,6 +124,9 @@ object Ivf {
     val cands = spark.read.parquet(listsPath)
       .filter($"list_id".isin(probeLists.map(Integer.valueOf): _*)) // pushed to the scan
       .select($"vec_id")
+    if (record)
+      lastOracle = Some((probeId, k,
+        cands.as[Long].collect().sorted.toIndexedSeq))
     emb.join(cands, "vec_id")
       .filter($"vec_id" =!= probeId)
       .join(broadcast(emb.filter($"vec_id" === probeId).select($"embedding".as("pe"))))
