@@ -107,6 +107,17 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // ES bool.filter.range over a numeric metadata field composed with the
+    // scored query: allowed docIDs from a range-pruned metadata scan feed
+    // the shard scorer's exact eval-time filter (full-corpus stats, as ES)
+    "bm25_filtered_range" -> ((s, dir) => {
+      import s.implicits._
+      val idx = IndexCache.documentsIndex(s, dir)
+      val allowed = Catalog.readTable(s, dir, "documents")
+        .filter($"n_chars".between(250L, 330L)).select($"doc_id")
+      SearchEngine.topKRangeFiltered(s, idx.paths.root,
+        Seq("join", "window", "vector"), K, allowed)
+    }),
     // ES significant_terms (JLH): terms overrepresented in 'join' docs
     "sig_terms" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -372,6 +383,8 @@ object SparkEntry {
       boosts = Map("join" -> 3.0, "vector" -> 0.5)),
     "bm25_filtered" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("source = 'src3'")),
+    "bm25_filtered_range" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      docFilter = Some("n_chars BETWEEN 250 AND 330")),
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
     "sig_terms" -> OracleSql.significantTerms("join", 10),
     "top_hits_facet" -> OracleSql.topHitsByFacet(Seq("join", "window", "vector"), 3),

@@ -230,7 +230,8 @@ object SearchEngine {
   def topKWand(spark: SparkSession, root: String, rawTerms: Seq[String],
       k: Int, shardsOpt: Option[Int] = None, robustBounds: Boolean = false,
       minMatch: Int = 1, after: Option[(Double, Long)] = None,
-      filters: Seq[String] = Nil): DataFrame = {
+      filters: Seq[String] = Nil,
+      allowedDocs: Option[org.apache.spark.sql.DataFrame] = None): DataFrame = {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
@@ -249,9 +250,9 @@ object SearchEngine {
     // robust bounds are mandatory there, independent of the caller's flag
     val robust = robustBounds || meta.incremental
 
-    // per-shard scorer, shared by the plain and tombstone-aware plans below
-    val scoreGroup: (Int, Iterator[PostingBlock], Array[Long]) => Iterator[Hit] =
-      (shard, it, deleted) => {
+    // per-shard scorer, shared by the plain and aux-aware plans below
+    val scoreGroup: (Int, Iterator[PostingBlock], Array[Long], Array[Long]) => Iterator[Hit] =
+      (shard, it, deleted, allowed) => {
         val qmv = bcQm.value
         val byTerm = it.toArray.groupBy(_.term)
         // a shard missing any filter term's postings holds no matching docs
@@ -280,7 +281,7 @@ object SearchEngine {
             ti += 1
           }
           Wand.scoreShard(cursors.toArray, lo, qmv.k, minMatch, afterScore,
-            afterDoc, req.toArray, deleted).iterator
+            afterDoc, req.toArray, deleted, allowed).iterator
         }
       }
 
@@ -293,25 +294,46 @@ object SearchEngine {
       }
       .groupByKey(_._1)
 
-    val hits =
-      if (!graft.index.Deletes.hasDeletes(paths))
-        blocksByShard.flatMapGroups((shard, it) =>
-          scoreGroup(shard, it.map(_._2), null))
-      else {
-        // soft-deletes live: tombstones shuffle into the SAME docID-range
-        // shards as the blocks (cogroup) — each shard excludes against its
-        // own slice of the delete set, no global broadcast
-        val delsByShard = spark.read.parquet(paths.deletes)
+    // per-shard auxiliary docID sets, shuffled into the SAME docID-range
+    // shards as the blocks (cogroup) — each shard filters against its own
+    // slice, no global broadcast: tombstones (tag=false) and, when a range
+    // filter is active, the allowed set from the range-pruned metadata scan
+    // (tag=true)
+    val rangeActive = allowedDocs.isDefined
+    val aux: Option[org.apache.spark.sql.Dataset[(Int, Long, Boolean)]] = {
+      val dels =
+        if (!graft.index.Deletes.hasDeletes(paths)) None
+        else Some(spark.read.parquet(paths.deletes)
           .select($"doc_id").as[Long]
-          .map(d => ((d / width).toInt, d))
-          .groupByKey(_._1)
-        blocksByShard.cogroup(delsByShard) { (shard, blockIt, delIt) =>
-          val deleted = delIt.map(_._2).toArray
-          java.util.Arrays.sort(deleted)
-          scoreGroup(shard, blockIt.map(_._2),
-            if (deleted.isEmpty) null else deleted)
-        }
+          .map(d => ((d / width).toInt, d, false)))
+      val allow = allowedDocs.map(df =>
+        df.select($"doc_id".cast("long")).as[Long]
+          .map(d => ((d / width).toInt, d, true)))
+      (dels, allow) match {
+        case (Some(a), Some(b)) => Some(a.union(b))
+        case (a, b) => a.orElse(b)
       }
+    }
+    val hits = aux match {
+      case None =>
+        blocksByShard.flatMapGroups((shard, it) =>
+          scoreGroup(shard, it.map(_._2), null, null))
+      case Some(auxDs) =>
+        blocksByShard.cogroup(auxDs.groupByKey(_._1)) { (shard, blockIt, auxIt) =>
+          val del = scala.collection.mutable.ArrayBuffer[Long]()
+          val allow = scala.collection.mutable.ArrayBuffer[Long]()
+          auxIt.foreach { case (_, d, isAllow) =>
+            (if (isAllow) allow else del) += d
+          }
+          // a range filter allowing nothing in this shard: no doc qualifies
+          if (rangeActive && allow.isEmpty) Iterator.empty
+          else {
+            val deleted = if (del.isEmpty) null else { val a = del.toArray; java.util.Arrays.sort(a); a }
+            val allowed = if (!rangeActive) null else { val a = allow.toArray; java.util.Arrays.sort(a); a }
+            scoreGroup(shard, blockIt.map(_._2), deleted, allowed)
+          }
+        }
+    }
 
     hits
       .toDF()
@@ -328,6 +350,21 @@ object SearchEngine {
       k: Int, filters: Seq[String], minMatch: Int = 1): DataFrame = {
     import spark.implicits._
     topKWand(spark, root, rawTerms, k, minMatch = minMatch, filters = filters)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  /** ES bool `must: match` + `filter: {range: …}` — scored top-k restricted
+    * to an allowed docID set built from a range-pruned METADATA scan (the
+    * predicate pushes to the metadata table's parquet scan; only the
+    * qualifying docIDs travel, cogrouped into the scorer's own docID-range
+    * shards — no broadcast, no postings for the filter). Scoring stats stay
+    * full-corpus: ES filter context never changes scores.
+    */
+  def topKRangeFiltered(spark: SparkSession, root: String,
+      rawTerms: Seq[String], k: Int,
+      allowedDocs: org.apache.spark.sql.DataFrame): DataFrame = {
+    import spark.implicits._
+    topKWand(spark, root, rawTerms, k, allowedDocs = Some(allowedDocs))
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 

@@ -41,6 +41,7 @@ object SearchJob {
       from: Int = 0,
       after: Option[(Double, Long)] = None,
       filters: Seq[String] = Nil,
+      range: Option[(String, String, String)] = None,
       explain: Boolean = false,
       corpus: String = "",
       seed: Long = -1L,
@@ -65,6 +66,14 @@ object SearchJob {
         // repeatable: `--filter role:assistant --filter tool:bash` (keyword
         // postings previously indexed by KeywordIndex.add)
         case "--filter" => a = a.copy(filters = a.filters :+ argv(i + 1)); i += 2
+        // ES bool.filter.range over a corpus metadata column:
+        // `--range ts:2026-01-01..2026-02-01` or `--range turn_idx:0..10`
+        // (inclusive bounds — '..' separates them, so timestamp values may
+        // contain ':'; docIDs come from a range-pruned corpus scan)
+        case "--range" =>
+          val Array(f, bounds) = argv(i + 1).split(":", 2)
+          val Array(lo, hi) = bounds.split("\\.\\.", 2)
+          a = a.copy(range = Some((f, lo, hi))); i += 2
         case "--explain" => a = a.copy(explain = true); i += 1
         case "--corpus" => a = a.copy(corpus = argv(i + 1)); i += 2
         case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
@@ -76,8 +85,8 @@ object SearchJob {
     require(a.query.nonEmpty || a.mode == "mlt", "--query is required")
     require(a.from == 0 || a.after.isEmpty, "--from and --after are mutually exclusive")
     require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 &&
-      !a.robustBounds && a.filters.isEmpty && !a.explain),
-      "--from/--after/--min-match/--robust-bounds/--filter/--explain require --mode wand")
+      !a.robustBounds && a.filters.isEmpty && !a.explain && a.range.isEmpty),
+      "--from/--after/--min-match/--robust-bounds/--filter/--range/--explain require --mode wand")
     require(a.mode != "mlt" || a.seed >= 0,
       "--mode mlt requires --seed (--corpus optional: defaults to the index's own corpus)")
     require(!a.explain || (a.from == 0 && a.after.isEmpty),
@@ -108,9 +117,22 @@ object SearchJob {
         SearchEngine.topKFromSize(spark, a.index, terms, a.from, a.k,
           minMatch = a.minMatch, robustBounds = a.robustBounds)
       case "wand" =>
+        // range filter: allowed docIDs from a range-pruned scan of the
+        // index's own stored corpus metadata (corpus_sorted)
+        val allowed = a.range.map { case (f, lo, hi) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val corpus = graft.io.Catalog
+            .readNumbered(spark, graft.io.Catalog.IndexPaths(a.index)).toDF()
+          // bounds cast to the COLUMN's type (never the column to string:
+          // lexicographic "10" < "2" would corrupt numeric ranges) — the
+          // typed comparison pushes to the parquet scan
+          val dt = corpus.schema(f).dataType
+          corpus.filter(col(f) >= lit(lo).cast(dt) && col(f) <= lit(hi).cast(dt))
+            .select(col("doc_id"))
+        }
         SearchEngine.topKWand(spark, a.index, terms, a.k,
           robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after,
-          filters = a.filters)
+          filters = a.filters, allowedDocs = allowed)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
       case "wildcard" => TermQueries.wildcard(spark, a.index, a.query.trim)
       case "mlt" => MoreLikeThis.topK(spark, a.index, a.corpus, a.seed, a.k)

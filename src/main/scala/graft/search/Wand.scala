@@ -187,13 +187,21 @@ object Wand {
     * docID range; tombstoned docs are rejected at evaluation (exact filter,
     * like `after`), never by a bound — rank-safe, and scoring stats stay
     * those of the full index until [[graft.index.Deletes.purge]], as in ES.
+    *
+    * `allowed` (ES bool `filter: {range: …}` context): a sorted allowed-doc
+    * array for THIS shard's docID range, derived from a range-pruned
+    * metadata scan; docs OUTSIDE it are rejected at evaluation — the exact
+    * mirror of `deleted`, so every θ-driven skip stays rank-safe, and (as
+    * with every ES filter context) scoring stats never move. null = no
+    * range filter.
     */
   def scoreShard(cursors: Array[TermCursor], lo: Long, k: Int,
       minMatch: Int = 1,
       afterScore: Double = Double.PositiveInfinity,
       afterDoc: Long = -1L,
       required: Array[Boolean] = null,
-      deleted: Array[Long] = null): Seq[Hit] = {
+      deleted: Array[Long] = null,
+      allowed: Array[Long] = null): Seq[Hit] = {
     if (required != null) {
       var i = 0
       while (i < cursors.length) { cursors(i).required = required(i); i += 1 }
@@ -315,6 +323,8 @@ object Wand {
               if (matched >= minMatch &&
                   (deleted == null ||
                     java.util.Arrays.binarySearch(deleted, pivot) < 0) &&
+                  (allowed == null ||
+                    java.util.Arrays.binarySearch(allowed, pivot) >= 0) &&
                   (sc < afterScore || (sc == afterScore && pivot > afterDoc)))
                 heap.offer(pivot, sc)
               t = 0

@@ -75,6 +75,60 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(w == e, s"filtered mm-WAND != shadow")
   }
 
+  test("range filter equals exhaustive shadow; composes with keyword filters and deletes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = Seq("join", "window", "vector")
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+
+    def rangeShadow(lo: Long, hi: Long, k: Int): Seq[(Long, Double)] = {
+      val allowed = docs.filter($"n_chars".between(lo, hi)).select($"doc_id")
+      hits(SearchEngine.topKExhaustive(spark, root, q, Int.MaxValue)
+        .join(allowed, "doc_id")
+        .orderBy($"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", round($"score", 4).as("score_r4")))
+    }
+
+    for ((lo, hi, k) <- Seq((250L, 330L, 10), (0L, 10000L, 10), (200L, 260L, 3))) {
+      val allowed = docs.filter($"n_chars".between(lo, hi)).select($"doc_id")
+      val w = hits(SearchEngine.topKRangeFiltered(spark, root, q, k, allowed))
+      assert(w == rangeShadow(lo, hi, k), s"range WAND != shadow for [$lo,$hi] k=$k")
+      assert(w.nonEmpty)
+    }
+    // empty range → empty result (rangeActive with empty allowed slices)
+    assert(hits(SearchEngine.topKRangeFiltered(spark, root, q, 10,
+      docs.filter($"n_chars" < 0).select($"doc_id"))).isEmpty)
+
+    // range ∧ keyword filter: both contexts applied
+    val allowed = docs.filter($"n_chars".between(250L, 330L)).select($"doc_id")
+    val both = hits(SearchEngine.topKWand(spark, root, q, 10,
+      filters = Seq("source:src3"), allowedDocs = Some(allowed))
+      .select($"doc_id", round($"score", 4).as("score_r4")))
+    val shadowBoth = {
+      val ids = docs.filter($"n_chars".between(250L, 330L) && $"source" === "src3")
+        .select($"doc_id")
+      hits(SearchEngine.topKExhaustive(spark, root, q, Int.MaxValue)
+        .join(ids, "doc_id")
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+        .select($"doc_id", round($"score", 4).as("score_r4")))
+    }
+    assert(both == shadowBoth, "range ∧ keyword filter != shadow")
+
+    // range filter composes with live tombstones (aux cogroup carries both)
+    val del = IndexCache.deletedIndex(spark, sfDir, Seq("stream"))
+    val dead = graft.index.Deletes.read(spark,
+      graft.io.Catalog.IndexPaths(del.paths.root)).toSet
+    val rangeDel = hits(SearchEngine.topKRangeFiltered(spark, del.paths.root,
+      q, 10, allowed))
+    val shadowDel = hits(SearchEngine.topKExhaustive(spark, del.paths.root, q, Int.MaxValue)
+      .join(allowed, "doc_id")
+      .filter(!$"doc_id".isin(dead.toSeq: _*))
+      .orderBy($"score".desc, $"doc_id".asc).limit(10)
+      .select($"doc_id", round($"score", 4).as("score_r4")))
+    assert(rangeDel == shadowDel, "range filter over tombstoned index != shadow")
+    assert(rangeDel.map(_._1).toSet.intersect(dead).isEmpty)
+  }
+
   test("filter context never changes scores") {
     val q = Seq("join", "window", "vector")
     val filtered = hits(SearchEngine.topKFiltered(spark, root, q, 100, Seq("source:src3"))).toMap
