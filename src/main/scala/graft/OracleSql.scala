@@ -195,6 +195,90 @@ object OracleSql {
        |LIMIT $k""".stripMargin
   }
 
+  /** multi_match `most_fields` twin: SUM of the per-field BM25 scores
+    * (each field's own stats), title boosted.
+    */
+  def mostFieldsTopK(terms: Seq[String], k: Int, titleBoost: Double): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    def fieldScores(alias: String, toksExpr: String) =
+      s"""${alias}_dls AS (
+         |  SELECT doc_id, len($toksExpr) AS dl FROM documents
+         |), ${alias}_stats AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ${alias}_dls
+         |), ${alias}_tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksExpr) AS term FROM documents)
+         |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+         |), ${alias}_dfs AS (
+         |  SELECT term, count(*) AS df FROM ${alias}_tf GROUP BY term
+         |), ${alias}_s AS (
+         |  SELECT tf.doc_id, sum(
+         |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |    (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / s.avgdl)))) AS score
+         |  FROM ${alias}_tf tf
+         |  JOIN ${alias}_dfs d USING (term)
+         |  JOIN ${alias}_dls dls USING (doc_id)
+         |  CROSS JOIN ${alias}_stats s
+         |  GROUP BY tf.doc_id
+         |)""".stripMargin
+    s"""WITH ${fieldScores("tx", toks("text"))},
+       |${fieldScores("ti", s"list_slice(${toks("text")}, 1, 8)")}
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |       round(coalesce(a.score, 0) + $titleBoost * coalesce(b.score, 0), 4) AS score_r4
+       |FROM tx_s a FULL OUTER JOIN ti_s b ON a.doc_id = b.doc_id
+       |ORDER BY coalesce(a.score, 0) + $titleBoost * coalesce(b.score, 0) DESC,
+       |         coalesce(a.doc_id, b.doc_id) ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** multi_match `cross_fields` twin (BlendedTermQuery): per-term idf from
+    * the MAX per-field df (shared N = text corpus size), per-term dis_max
+    * (+ tie_breaker) over the fields' idf_blend · tfNorm_field, summed.
+    */
+  def crossFieldsTopK(terms: Seq[String], k: Int, tieBreaker: Double): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    def fieldTf(alias: String, toksExpr: String) =
+      s"""${alias}_dls AS (
+         |  SELECT doc_id, len($toksExpr) AS dl FROM documents
+         |), ${alias}_stats AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ${alias}_dls
+         |), ${alias}_tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksExpr) AS term FROM documents)
+         |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+         |), ${alias}_dfs AS (
+         |  SELECT term, count(*) AS df FROM ${alias}_tf GROUP BY term
+         |)""".stripMargin
+    s"""WITH ${fieldTf("tx", toks("text"))},
+       |${fieldTf("ti", s"list_slice(${toks("text")}, 1, 8)")},
+       |bdf AS (
+       |  SELECT coalesce(a.term, b.term) AS term,
+       |         greatest(coalesce(a.df, 0), coalesce(b.df, 0)) AS df
+       |  FROM tx_dfs a FULL OUTER JOIN ti_dfs b ON a.term = b.term
+       |), c_tx AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         ln(1 + (s.n_docs - bdf.df + 0.5) / (bdf.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / s.avgdl))) AS sc
+       |  FROM tx_tf tf JOIN bdf USING (term)
+       |  JOIN tx_dls dls USING (doc_id) CROSS JOIN tx_stats s
+       |), c_ti AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         ln(1 + (s.n_docs - bdf.df + 0.5) / (bdf.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / ts.avgdl))) AS sc
+       |  FROM ti_tf tf JOIN bdf USING (term)
+       |  JOIN ti_dls dls USING (doc_id) CROSS JOIN ti_stats ts CROSS JOIN tx_stats s
+       |), per_term AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |         greatest(coalesce(a.sc, 0), coalesce(b.sc, 0))
+       |         + $tieBreaker * least(coalesce(a.sc, 0), coalesce(b.sc, 0)) AS sc
+       |  FROM c_tx a FULL OUTER JOIN c_ti b
+       |    ON a.doc_id = b.doc_id AND a.term = b.term
+       |)
+       |SELECT doc_id, round(sum(sc), 4) AS score_r4
+       |FROM per_term GROUP BY doc_id
+       |ORDER BY sum(sc) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** BM25F twin (semantics pinned in search/Bm25F.scala): field-weighted,
     * per-field length-normalized tf summed BEFORE k1 saturation; idf = text
     * df (title is a prefix subfield, so any-field df == text df).

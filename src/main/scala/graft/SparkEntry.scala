@@ -149,6 +149,21 @@ object SparkEntry {
       SearchEngine.multiMatchTopK(s, tx.paths.root, ti.paths.root,
         Seq("join", "window", "vector"), K, titleBoost = 1.5)
     }),
+    // multi_match most_fields: SUM of per-field BM25 (each field's own stats)
+    "bm25_most_fields" -> ((s, dir) => {
+      val tx = IndexCache.documentsIndex(s, dir)
+      val ti = IndexCache.titleIndex(s, dir)
+      SearchEngine.multiMatchMostFields(s, tx.paths.root, ti.paths.root,
+        Seq("join", "window", "vector"), K, titleBoost = 1.5)
+    }),
+    // multi_match cross_fields: per-term idf blended across fields (max df),
+    // dis_max per term over the fields, summed — BlendedTermQuery semantics
+    "bm25_cross_fields" -> ((s, dir) => {
+      val tx = IndexCache.documentsIndex(s, dir)
+      val ti = IndexCache.titleIndex(s, dir)
+      SearchEngine.multiMatchCrossFields(s, tx.paths.root, ti.paths.root,
+        Seq("join", "window", "vector"), K, tieBreaker = 0.3)
+    }),
     // BM25F: field-weighted tf summed before saturation (title weight 3x)
     "bm25f_topk" -> ((s, dir) => {
       val tx = IndexCache.documentsIndex(s, dir)
@@ -395,6 +410,8 @@ object SparkEntry {
     "suggest_term" -> OracleSql.suggest("jion", 5, 2),
     "bm25f_topk" -> OracleSql.bm25fTopK(Seq("join", "window", "vector"), K, 1.0, 3.0),
     "bm25_multi_match" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5),
+    "bm25_most_fields" -> OracleSql.mostFieldsTopK(Seq("join", "window", "vector"), K, 1.5),
+    "bm25_cross_fields" -> OracleSql.crossFieldsTopK(Seq("join", "window", "vector"), K, 0.3),
     "bm25_dis_max_tb" -> OracleSql.multiMatchTopK(Seq("join", "window", "vector"), K, 1.5, 0.3),
     "percolate" -> OracleSql.percolate(Percolator.DriverQueries),
     "index_stats" -> OracleSql.indexStats,

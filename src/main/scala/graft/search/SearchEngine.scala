@@ -395,10 +395,37 @@ object SearchEngine {
   def multiMatchTopK(spark: SparkSession, textRoot: String, titleRoot: String,
       rawTerms: Seq[String], k: Int, titleBoost: Double = 1.0,
       windowOpt: Int = -1, tieBreaker: Double = 0.0): DataFrame = {
-    import spark.implicits._
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tie_breaker in [0,1], as ES")
-    def combine(a: Double, b: Double): Double =
-      math.max(a, b) + tieBreaker * math.min(a, b)
+    multiMatchFused(spark, textRoot, titleRoot, rawTerms, k, titleBoost,
+      windowOpt,
+      combine = (a, b) => math.max(a, b) + tieBreaker * math.min(a, b),
+      needFill = tieBreaker > 0.0)
+  }
+
+  /** ES `multi_match` `most_fields` mode: per-field BM25 with each field's
+    * OWN statistics, combined per doc as the SUM of the field scores (the
+    * public ES semantics — "as many fields as possible"). Reuses the
+    * best_fields window-fusion machinery: sum is monotone in both
+    * arguments, so the unseen-doc bound combine(boundary_tx, boundary_ti)
+    * and the escalation loop's exactness argument carry over verbatim.
+    * Both field scores always enter the combined value, so missing window
+    * sides always take the exact targeted lookup (the tie_breaker>0 rule).
+    */
+  def multiMatchMostFields(spark: SparkSession, textRoot: String,
+      titleRoot: String, rawTerms: Seq[String], k: Int,
+      titleBoost: Double = 1.0, windowOpt: Int = -1): DataFrame =
+    multiMatchFused(spark, textRoot, titleRoot, rawTerms, k, titleBoost,
+      windowOpt, combine = (a, b) => a + b, needFill = true)
+
+  /** Shared window-fusion core (scaladoc on [[multiMatchTopK]]): exact for
+    * any `combine` monotone non-decreasing in both arguments with
+    * combine(0,0) = 0.
+    */
+  private def multiMatchFused(spark: SparkSession, textRoot: String,
+      titleRoot: String, rawTerms: Seq[String], k: Int, titleBoost: Double,
+      windowOpt: Int, combine: (Double, Double) => Double,
+      needFill: Boolean): DataFrame = {
+    import spark.implicits._
     var w = math.max(k, if (windowOpt > 0) windowOpt else k + 8)
     while (true) {
       val txt = topKWand(spark, textRoot, rawTerms, w).as[Hit].collect()
@@ -406,7 +433,7 @@ object SearchEngine {
         .map(h => Hit(h.doc_id, titleBoost * h.score))
       var txtByDoc = txt.map(h => h.doc_id -> h.score).toMap
       var ttlByDoc = ttl.map(h => h.doc_id -> h.score).toMap
-      if (tieBreaker > 0.0) {
+      if (needFill) {
         // with a tie_breaker, BOTH field scores enter every candidate's
         // combined value — a candidate outside one field's window has an
         // unknown (nonzero!) score there; a zero-fill understates it (the
@@ -441,6 +468,87 @@ object SearchEngine {
       w *= 4
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** ES `multi_match` `cross_fields` mode (term-centric, the public Lucene
+    * BlendedTermQuery semantics): each term's idf is BLENDED across the
+    * queried fields — df = max of the per-field dfs, N shared (both fields
+    * span the same docs) — then a doc's per-term score is the dis_max
+    * (+ tie_breaker) over fields of idf_blend · tfNorm_field (each field's
+    * own tf/dl/avgdl), summed over terms. This treats the field set as one
+    * big field for rarity while keeping per-field length normalization —
+    * exactly why ES recommends it for first_name/last_name-style splits.
+    *
+    * Cost and scale: the two fields' PRUNED query-term postings scans
+    * (bucket pruning + term pushdown — never a corpus scan) feeding one
+    * doc-keyed aggregation. Term-centric blending couples the fields per
+    * term, so per-field WAND windows cannot bound the combined score and
+    * the window-fusion trick does not apply; the doc-keyed aggregation is
+    * uniform-keyed (docID), skew-free, and partial-aggregates map-side —
+    * the exhaustive-twin shape, just restricted to the query terms'
+    * postings.
+    */
+  def multiMatchCrossFields(spark: SparkSession, textRoot: String,
+      titleRoot: String, rawTerms: Seq[String], k: Int,
+      tieBreaker: Double = 0.0, titleBoost: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tie_breaker in [0,1], as ES")
+    val pathsTx = IndexPaths(textRoot)
+    val pathsTi = IndexPaths(titleRoot)
+    val terms = QueryModel.analyzedTerms(rawTerms).toArray
+    if (terms.isEmpty)
+      return emptyHits(spark).select($"doc_id", round($"score", 4).as("score_r4"))
+    val stTx = Catalog.readCorpusStats(spark, pathsTx)
+    val stTi = Catalog.readCorpusStats(spark, pathsTi)
+    def dfs(paths: IndexPaths): Map[String, Long] =
+      Catalog.readDictionary(spark, paths)
+        .filter($"term".isin(terms.toSeq: _*))
+        .collect().map(d => d.term -> d.df).toMap
+    val (dfTx, dfTi) = (dfs(pathsTx), dfs(pathsTi))
+    val idfBlend = terms.map(t =>
+      Bm25.idf(stTx.n_docs, math.max(dfTx.getOrElse(t, 0L), dfTi.getOrElse(t, 0L))))
+    val bcIdf = spark.sparkContext.broadcast(idfBlend)
+    val bcTerms = spark.sparkContext.broadcast(terms)
+
+    // (doc, term_idx, field, contribution) from one field's pruned scan
+    def contribs(paths: IndexPaths, buckets: Int, avgdl: Double, field: Int,
+        weight: Double) =
+      queryPostings(spark, paths, terms.toSeq, buckets)
+        .flatMap { b =>
+          val ti = java.util.Arrays.binarySearch(
+            bcTerms.value.asInstanceOf[Array[AnyRef]], b.term)
+          if (ti < 0) Iterator.empty
+          else {
+            val idf = bcIdf.value(ti)
+            val d = Blocks.decode(b)
+            (0 until d.docs.length).iterator.map(i => (d.docs(i), ti, field,
+              weight * idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, avgdl)))
+          }
+        }
+    val metaTx = Indexer.readMeta(spark, textRoot)
+    val metaTi = Indexer.readMeta(spark, titleRoot)
+    contribs(pathsTx, metaTx.buckets, stTx.avgdl, 0, 1.0)
+      .union(contribs(pathsTi, metaTi.buckets, stTi.avgdl, 1, titleBoost))
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val n = bcTerms.value.length
+        val tx = new Array[Double](n)
+        val ti = new Array[Double](n)
+        it.foreach { case (_, t, f, c) => if (f == 0) tx(t) += c else ti(t) += c }
+        var sc = 0.0
+        var t = 0
+        while (t < n) { // fixed term order: bit-deterministic summation
+          sc += math.max(tx(t), ti(t)) + tieBreaker * math.min(tx(t), ti(t))
+          t += 1
+        }
+        (doc, sc)
+      }
+      .toDF("doc_id", "score")
+      // live soft-deletes on the text (primary) root exclude as everywhere
+      .transform(df => graft.index.Deletes.filterLive(df, textRoot))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
   /** Exact BM25 scores for a specific (small, broadcast) docID set — the
