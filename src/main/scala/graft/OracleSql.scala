@@ -672,6 +672,23 @@ object OracleSql {
        |GROUP BY $facetCol ORDER BY $facetCol""".stripMargin
 
   /** Daily date histogram over events. */
+  /** Nested agg twin: terms(event_type) → date_histogram(day) → metrics. */
+  val facetHistogram: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Nested agg over the hit stream: terms(source) → percentiles(n_chars). */
+  def facetPercentiles(term: String): String =
+    s"""WITH hits AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE len(list_filter(${toks("text")}, x -> x = '$term')) > 0)
+       |SELECT d.source, count(*) AS n_docs,
+       |       round(quantile_cont(d.n_chars, 0.5), 6) AS p50_r6,
+       |       round(quantile_cont(d.n_chars, 0.95), 6) AS p95_r6
+       |FROM documents d JOIN hits USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val dateHistogram: String =
     """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
       |       round(sum(value), 4) AS sum_value
@@ -1012,6 +1029,33 @@ object OracleSql {
        |SELECT DISTINCT p0.doc_id AS doc_id
        |FROM pos p0
        |$joins
+       |WHERE p0.term = '${terms.head}'
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** match_phrase_prefix twin: exact adjacent leading terms, last position
+    * holds any token with the prefix. The engine caps dictionary expansion
+    * at max_expansions in term order — the fixture vocabulary (≤31 terms)
+    * stays far below the default cap, so uncapped LIKE semantics coincide
+    * (the same cap-alignment rule as the wildcard/suggest oracles).
+    */
+  def phrasePrefix(phrase: Seq[String], prefix: String): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString("\n")
+    val n = terms.length
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |$joins
+       |JOIN pos pp ON pp.doc_id = p0.doc_id AND pp.pos = p0.pos + $n
+       |  AND pp.term LIKE '$prefix%'
        |WHERE p0.term = '${terms.head}'
        |ORDER BY doc_id""".stripMargin
   }

@@ -284,6 +284,13 @@ object SparkEntry {
       Relational.facetByTerm(s, idx.paths.root, dir, "join", "source")
     }),
     "date_histogram" -> ((s, dir) => Relational.dateHistogram(s, dir)),
+    // ES nested aggs: terms → date_histogram buckets; terms → percentiles
+    // over the hit stream (one multi-key hash agg each, no per-bucket pass)
+    "facet_histogram" -> ((s, dir) => Relational.facetHistogram(s, dir)),
+    "facet_percentiles" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      Relational.facetPercentiles(s, idx.paths.root, dir, "join")
+    }),
     "percentiles_value" -> ((s, dir) => Relational.percentilesValue(s, dir)),
     "json_k" -> ((s, dir) => Relational.jsonK(s, dir)),
     "sessionize_events" -> ((s, dir) => Relational.sessionizeEvents(s, dir)),
@@ -335,6 +342,13 @@ object SparkEntry {
       val idx = IndexCache.positionalIndex(s, dir)
       graft.index.PositionalIndex.phraseMatch(s, idx.paths.root,
         Seq("join", "hash"), idx.meta.buckets)
+    }),
+    // ES match_phrase_prefix (search-as-you-type): "join h*" — adjacent
+    // "join" then any dictionary term with prefix "h" at the next position
+    "phrase_prefix" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.phrasePrefixMatch(s, idx.paths.root,
+        Seq("join"), "h", idx.meta.buckets)
     }),
     // ES match_phrase slop (ordered): "join ... hash" within 2 intervening
     "phrase_slop" -> ((s, dir) => {
@@ -432,6 +446,8 @@ object SparkEntry {
     "dense_ids" -> OracleSql.denseIds,
     "facet_source" -> OracleSql.facet("join", "source"),
     "date_histogram" -> OracleSql.dateHistogram,
+    "facet_histogram" -> OracleSql.facetHistogram,
+    "facet_percentiles" -> OracleSql.facetPercentiles("join"),
     "percentiles_value" -> OracleSql.percentilesValue,
     "query_prefix" -> OracleSql.queryPrefix("s"),
     "query_fuzzy" -> OracleSql.queryFuzzy("joln"),
@@ -460,6 +476,7 @@ object SparkEntry {
     "phrase_match_indexed" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "phrase_topk" -> OracleSql.phraseTopK(Seq("join", "hash"), K),
     "phrase_slop" -> OracleSql.phraseMatchSloppy(Seq("join", "hash"), 2),
+    "phrase_prefix" -> OracleSql.phrasePrefix(Seq("join"), "h"),
     "bm25_rescore" -> OracleSql.rescoreTopK(Seq("join", "window", "vector"), K, 50, 1.0, 2.0),
     "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),

@@ -288,6 +288,69 @@ object PositionalIndex {
       .orderBy($"doc_id")
   }
 
+  /** ES `match_phrase_prefix` (search-as-you-type): the leading terms match
+    * as an exact adjacent phrase; the LAST position may hold ANY indexed
+    * term starting with `prefix`, expanded from the dictionary in term
+    * order, capped at `maxExpansions` (the ES max_expansions contract —
+    * ES defaults to 50). An empty expansion set matches nothing (no term
+    * can occupy the final slot), as in ES.
+    *
+    * Plan shape = [[phraseTf]]: ONE positional scan pruned to the buckets of
+    * phrase terms + expansions with full term pushdown, one groupBy(doc)
+    * shuffle of only those terms' position lists, chain check per doc. The
+    * dictionary expansion is the same driver-side ≤maxExpansions read the
+    * prefix/wildcard term queries use.
+    */
+  def phrasePrefixMatch(spark: SparkSession, root: String, phrase: Seq[String],
+      prefix: String, buckets: Int, maxExpansions: Int = 50): DataFrame = {
+    import spark.implicits._
+    val lead = phrase.flatMap(Analyzer.tokenize(_))
+    require(lead.nonEmpty, "match_phrase_prefix needs at least one full term")
+    val expansions = graft.io.Catalog
+      .readDictionary(spark, graft.io.Catalog.IndexPaths(root))
+      .toDF()
+      .filter($"term".startsWith(prefix))
+      .orderBy($"term")
+      .limit(maxExpansions)
+      .collect().map(_.getString(0))
+    if (expansions.isEmpty)
+      return spark.emptyDataset[Long].toDF("doc_id")
+    val lastSlot = lead.length // expansion position offset from p0
+    val distinctTerms = (lead ++ expansions).distinct
+    val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    val leadIdx = lead.zipWithIndex
+    val expSet = expansions.toSet
+
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms.toSeq: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        val expLists = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+        it.foreach { case (_, t, ps) =>
+          byTerm(t) = ps
+          if (expSet.contains(t)) expLists += ps
+        }
+        val ok = leadIdx.forall { case (t, _) => byTerm.contains(t) } &&
+          expLists.nonEmpty &&
+          byTerm(lead.head).exists { p0 =>
+            leadIdx.forall { case (t, i) =>
+              java.util.Arrays.binarySearch(byTerm(t), p0 + i) >= 0
+            } &&
+            expLists.exists(l =>
+              java.util.Arrays.binarySearch(l, p0 + lastSlot) >= 0)
+          }
+        if (ok) Iterator.single(doc) else Iterator.empty
+      }
+      .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
+      .orderBy($"doc_id")
+  }
+
   /** Scored `match_phrase` (ES analog): BM25 top-k treating the phrase as a
     * single pseudo-term — tf = phrase frequency ([[phraseTf]]), df = number
     * of docs containing the phrase, dl/avgdl from the scored index.

@@ -47,6 +47,39 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** ES NESTED aggregation: terms(event_type) → date_histogram(day) → count
+    * + sum sub-metrics. Composed buckets are one multi-key hash aggregation
+    * in Spark — partial map-side, one shuffle on the (coarse × fine) bucket
+    * key, no per-bucket re-scan (ES pays one pass too; the tree shape is
+    * presentation, not execution).
+    */
+  def facetHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** ES nested agg over the HIT STREAM: terms(source) → percentiles(n_chars)
+    * sub-agg, for the docs matching `term` — the "facet with sub-metrics"
+    * shape ES users compose routinely. Doc set from the inverted index,
+    * one aggregation pass over the joined hits.
+    */
+  def facetPercentiles(spark: SparkSession, indexRoot: String, sfDir: String,
+      term: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+    Booleans.docsOf(spark, indexRoot, term)
+      .join(docs, "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_r6"),
+        round(expr("percentile(n_chars, 0.95D)"), 6).as("p95_r6"))
+      .orderBy($"source")
+  }
+
   /** ES date_histogram analog: tumbling daily buckets over events. */
   def dateHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -50,6 +50,39 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("match_phrase_prefix equals corpus brute force; honors max_expansions") {
+    import spark.implicits._
+    val idx = IndexCache.positionalIndex(spark, sfDir)
+    val docs = graft.io.Catalog.readDocuments(spark, sfDir).collect()
+    def brute(lead: Seq[String], prefix: String,
+        allowed: String => Boolean = _ => true): Seq[Long] =
+      docs.filter { d =>
+        val t = graft.core.Analyzer.tokenize(d.text)
+        t.indices.exists { i =>
+          i + lead.length < t.length &&
+          lead.indices.forall(j => t(i + j) == lead(j)) &&
+          t(i + lead.length).startsWith(prefix) && allowed(t(i + lead.length))
+        }
+      }.map(_.doc_id).sorted.toSeq
+    for ((lead, pre) <- Seq((Seq("join"), "h"), (Seq("join", "hash"), "s"),
+        (Seq("window"), "a"), (Seq("join"), "zzz"))) {
+      val got = graft.index.PositionalIndex.phrasePrefixMatch(
+        spark, idx.paths.root, lead, pre, idx.meta.buckets)
+        .as[Long].collect().toSeq
+      assert(got == brute(lead, pre), s"phrase_prefix lead=$lead pre=$pre")
+    }
+    // cap: maxExpansions=1 keeps only the lexicographically first expansion
+    val firstH = graft.io.Catalog
+      .readDictionary(spark, graft.io.Catalog.IndexPaths(idx.paths.root))
+      .toDF().filter($"term".startsWith("h")).orderBy($"term")
+      .limit(1).collect().head.getString(0)
+    val capped = graft.index.PositionalIndex.phrasePrefixMatch(
+      spark, idx.paths.root, Seq("join"), "h", idx.meta.buckets, maxExpansions = 1)
+      .as[Long].collect().toSeq
+    assert(capped == brute(Seq("join"), "h", _ == firstH),
+      "max_expansions must cap in term order")
+  }
+
   test("positional block roundtrip") {
     import spark.implicits._
     val blocks = spark.read.parquet(PositionalIndex.pathOf(
