@@ -101,7 +101,11 @@ object ScalingBench {
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val acc = new java.util.concurrent.atomic.AtomicLongArray(4) // in, out, sw, sr
+      // in, out, shuffle write/read, rdd-cache bytes stored (the r4 build
+      // persists the exchanged corpus DISK_ONLY across S1→S2 — those bytes
+      // cross the bus too and task metrics don't count them; block updates
+      // do, so the audit stays an honest bus-bytes census)
+      val acc = new java.util.concurrent.atomic.AtomicLongArray(5)
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
@@ -112,10 +116,16 @@ object ScalingBench {
             acc.addAndGet(3, m.shuffleReadMetrics.totalBytesRead)
           }
         }
+        override def onBlockUpdated(
+            e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+          val i = e.blockUpdatedInfo
+          if (i.blockId.isRDD)
+            acc.addAndGet(4, math.max(0L, i.diskSize) + math.max(0L, i.memSize))
+        }
       })
       val out = s"/tmp/graft-scaling/idx-audit-$cores"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-      def snap(): Array[Long] = Array.tabulate(4)(acc.get)
+      def snap(): Array[Long] = Array.tabulate(5)(acc.get)
       val before = snap()
       val s = IndexBuildJob.run(spark, IndexBuildJob.Args(
         input = turnsPath(convs, tpc), output = out, buckets = 32,
@@ -126,7 +136,7 @@ object ScalingBench {
       println(s"""{"mode":"audit","cores":$cores,"n_turns":${convs.toLong * tpc},""" +
         s""""turns_per_sec":${s.turnsPerSec},""" +
         s""""input_gb":${gb(0)},"output_gb":${gb(1)},"shuffle_write_gb":${gb(2)},""" +
-        s""""shuffle_read_gb":${gb(3)},"stage_walls_ms":${
+        s""""shuffle_read_gb":${gb(3)},"cache_stored_gb":${gb(4)},"stage_walls_ms":${
           s.stageWalls.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}""")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       spark.stop()

@@ -61,8 +61,16 @@ object Analyzer {
       // skip ASCII separators; stop at token chars AND at non-ASCII
       while (i < n && { val c = text.charAt(i); c <= 127 && !isTokenChar(c) }) i += 1
       if (i < n) {
-        if (text.charAt(i) > 127) // non-ASCII: exact Column-form semantics
-          return pattern.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+        // Non-ASCII: exact Column-form semantics. Spark's lower() routes
+        // full-ASCII strings through an ASCII mapping (our fast path) but
+        // MIXED strings through String.toLowerCase() with the DEFAULT JVM
+        // locale (UTF8String.toLowerCaseSlow) — so the fallback must use
+        // the default locale too, or a tr/az/lt-locale JVM would tokenize
+        // I/İ differently in the two paths (ADVICE r3). Cross-JVM-locale
+        // index portability carries the same caveat Spark itself has;
+        // pin -Duser.language on heterogeneous clusters.
+        if (text.charAt(i) > 127)
+          return pattern.split(text.toLowerCase()).filter(_.nonEmpty)
         val start = i
         var needsLower = false
         while (i < n && isTokenChar(text.charAt(i))) {

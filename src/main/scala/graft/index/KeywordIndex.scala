@@ -57,9 +57,18 @@ object KeywordIndex {
       .map { case (d, v) => TermFreqRow(d, fieldTerm(field, v), 1, 1) }
     val heavy = SaltPlan.heavyTerms(TermFreqs.termStats(tf), meta.target_run)
     val salted = SaltPlan.saltRange(tf, heavy, 0L, math.max(1L, meta.doc_id_space))
+    // stage a NEW postings generation (copy + append) and flip it atomically
+    // — appending into the live resolved generation mutated a dir whose
+    // immutability Snapshots.create and concurrent filtered queries assume:
+    // a reader racing the append could observe a partial keyword segment
+    // (ADVICE r3). Copy cost is admin-time, like compaction/purge.
+    val staging = s"${paths.postingsBase}_staging"
+    Fs.delete(staging)
+    Fs.copyDir(paths.postings, staging)
     Spimi.buildBlocks(salted, avgdl = 1.0, meta.buckets, parts)
       .sortWithinPartitions($"bucket", $"term", $"run_id", $"block_idx")
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(paths.postings)
-    Fs.touch(marker)
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(staging)
+    Fs.touch(s"$staging/_kw_$field")
+    Fs.publishVersion(paths.postingsBase, staging)
   }
 }

@@ -30,6 +30,27 @@ class AnalyzerColumnSpec extends AnyFunSuite {
     "Ⅻ roman-numeral ٠١٢٣ digits ①",
     "", " .,; ", "ascii only 42")
 
+  test("typed tokenize equals the Column form under a Turkish default locale") {
+    // ADVICE r3: Spark lowers MIXED (non-full-ASCII) strings with the
+    // DEFAULT JVM locale; on tr/az JVMs I→ı in that path. The typed
+    // fallback must track it — flip the locale and require agreement on
+    // the dotted/dotless-I traps. (Full-ASCII strings take Spark's ASCII
+    // mapping in both paths regardless of locale.)
+    import spark.implicits._
+    val traps = Seq("İstanbul I ı ç", "TITLE İÇİN mixedÇase I", "I ı İ i ğ")
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val got = traps.toDF("text")
+        .select(Analyzer.tokensCol($"text"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      val want = traps.map(Analyzer.tokenize(_).toSeq)
+      got.zip(want).zip(traps).foreach { case ((g, w), s) =>
+        assert(g == w, s"tr-locale divergence on '$s': column=$g typed=$w")
+      }
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("typed tokenize equals the Column form on ASCII and unicode") {
     import spark.implicits._
     val got = samples.toDF("text")

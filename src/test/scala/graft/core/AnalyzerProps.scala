@@ -45,8 +45,11 @@ object AnalyzerProps extends Properties("Analyzer") {
     1 -> Gen.oneOf('́', '̇')) // combining marks
   private val unicodeStr: Gen[String] = Gen.listOf(unicodeChar).map(_.mkString)
 
+  // DEFAULT-locale lowercase: what Spark's lower() applies to non-full-
+  // ASCII strings (UTF8String.toLowerCaseSlow), hence what the typed
+  // fallback must mirror (ADVICE r3; en-locale CI: identical to ROOT)
   private def referencePipeline(s: String): Seq[String] =
-    s.toLowerCase(java.util.Locale.ROOT)
+    s.toLowerCase()
       .split(Analyzer.TokenSplitRegex).filter(_.nonEmpty).toSeq
 
   property("unicode: fallback equals the Column-form pipeline") =

@@ -173,6 +173,45 @@ class DeletesSpec extends AnyFunSuite {
     } finally { Fs.delete(root); Fs.delete(freshRoot) }
   }
 
+  test("majority-dead purge takes the join path, bit-identical to the broadcast path") {
+    import spark.implicits._
+    // VERDICT r3 item 8: the too-big-to-broadcast fallback is code. Force it
+    // with broadcastMax=1 on a majority-dead index ('the' hits most docs)
+    // and require byte-identical postings/dictionary/stats vs broadcast.
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rootA = s"/tmp/graft-purgejoin-a-$tag"
+    val rootB = s"/tmp/graft-purgejoin-b-$tag"
+    def content(root: String) =
+      Catalog.readPostings(spark, IndexPaths(root)).collect().toSeq
+        .map(b => (b.term, b.run_id, b.block_idx, b.first_doc, b.last_doc,
+          b.n_docs, b.max_tf, b.min_dl, b.sum_tf, b.max_tf_norm,
+          b.doc_deltas_vb.toSeq, b.tfs_vb.toSeq, b.dls_vb.toSeq))
+        .sortBy(x => (x._1, x._2, x._3))
+    try {
+      for (root <- Seq(rootA, rootB)) {
+        Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+          buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+        val n = Deletes.deleteByQuery(spark, root, Seq("the"))
+        assert(n > 100, s"'the' should tombstone most docs, got $n")
+      }
+      Deletes.purge(spark, rootA) // broadcast path (default threshold)
+      spark.conf.set("spark.graft.purge.broadcastMax", "1")
+      try Deletes.purge(spark, rootB) // join path
+      finally spark.conf.unset("spark.graft.purge.broadcastMax")
+
+      assert(content(rootA) == content(rootB),
+        "join-path purge must produce bit-identical postings")
+      val (sa, sb) = (Catalog.readCorpusStats(spark, IndexPaths(rootA)),
+        Catalog.readCorpusStats(spark, IndexPaths(rootB)))
+      assert(sa == sb, "join-path purge stats must match broadcast path")
+      val da = Catalog.readDictionary(spark, IndexPaths(rootA)).collect().sortBy(_.term).toSeq
+      val db = Catalog.readDictionary(spark, IndexPaths(rootB)).collect().sortBy(_.term).toSeq
+      assert(da == db)
+      assert(hits(SearchEngine.topKWandRounded(spark, rootA, q, 10)) ==
+        hits(SearchEngine.topKWandRounded(spark, rootB, q, 10)))
+    } finally { Fs.delete(rootA); Fs.delete(rootB) }
+  }
+
   test("purge: query-identical to an index freshly built over the live corpus") {
     import spark.implicits._
     val purged = IndexCache.purgedIndex(spark, sfDir, Seq(delTerm))
