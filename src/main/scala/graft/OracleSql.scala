@@ -918,6 +918,41 @@ object OracleSql {
        |SELECT doc_id, n_tokens, CAST(pre // $budget AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** BPE per-doc counts from the engine-generated per-word table (the
+    * generated-oracle pattern: segmentation pinned by BpeSpec, the
+    * corpus-scale aggregation by this SQL).
+    */
+  def tokenCountsBpe(wordCounts: Seq[(String, Int)]): String = {
+    val vals = wordCounts.map { case (w, n) => s"('$w', $n)" }.mkString(", ")
+    s"""WITH wc(term, n) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |SELECT d.doc_id,
+       |       CAST(coalesce((SELECT sum(wc.n) FROM tok JOIN wc USING (term)
+       |                      WHERE tok.doc_id = d.doc_id), 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** packSequences by BPE budget: same exclusive prefix sum, counts from
+    * the engine-generated word table.
+    */
+  def packSequencesBpe(budget: Long, wordCounts: Seq[(String, Int)]): String = {
+    val vals = wordCounts.map { case (w, n) => s"('$w', $n)" }.mkString(", ")
+    s"""WITH wc(term, n) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |t AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce((SELECT sum(wc.n) FROM tok JOIN wc USING (term)
+       |                        WHERE tok.doc_id = d.doc_id), 0) AS BIGINT) AS n_tokens
+       |  FROM documents d),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(pre // $budget AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val tokenCounts: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,

@@ -313,6 +313,11 @@ object SparkEntry {
     "curation_funnel" -> ((s, dir) => Curation.funnel(s, dir)),
     // token-budget sharding: two-pass distributed prefix sum, no global window
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir, 2048L)),
+    // model-token (BPE) accounting: deterministic corpus-trained merges
+    // (Bpe.trainFromCorpus), oracles generated from the per-word table
+    "token_counts_bpe" -> ((s, dir) => Curation.tokenCountsBpe(s, dir, record = true)),
+    "pack_sequences_bpe" -> ((s, dir) =>
+      Curation.packSequencesBpe(s, dir, 2048L, record = true)),
     // --- training-data pipeline: similarity search ---------------------------
     "emb_cosine_topk" -> ((s, dir) => Embeddings.cosineTopK(s, dir, 0L, K)),
     // IVF ANN (FAISS coarse-quantizer shape). The oracle is GENERATED from
@@ -487,5 +492,9 @@ object SparkEntry {
     // reads oracleSql AFTER running queries); absent → rows-only, as before
     graft.operators.Ivf.lastOracle.map { case (probeId, k, cands) =>
       "ann_ivf_topk" -> OracleSql.annIvfTopK(probeId, k, cands)
+    } ++
+    graft.operators.Curation.lastBpeOracle.toSeq.flatMap { wc =>
+      Seq("token_counts_bpe" -> OracleSql.tokenCountsBpe(wc),
+        "pack_sequences_bpe" -> OracleSql.packSequencesBpe(2048L, wc))
     }
 }
