@@ -426,11 +426,20 @@ object SearchEngine {
       windowOpt: Int, combine: (Double, Double) => Double,
       needFill: Boolean): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     var w = math.max(k, if (windowOpt > 0) windowOpt else k + 8)
     while (true) {
-      val txt = topKWand(spark, textRoot, rawTerms, w).as[Hit].collect()
-      val ttl = topKWand(spark, titleRoot, rawTerms, w).as[Hit].collect()
-        .map(h => Hit(h.doc_id, titleBoost * h.score))
+      // the two per-field passes are independent Spark jobs — submit them
+      // concurrently from the driver (the ES coordinator fans out to every
+      // field/shard in parallel; sequential submission serialized two
+      // cluster round-trips for no reason)
+      val txtF = Future(topKWand(spark, textRoot, rawTerms, w).as[Hit].collect())
+      val ttlF = Future(topKWand(spark, titleRoot, rawTerms, w).as[Hit].collect()
+        .map(h => Hit(h.doc_id, titleBoost * h.score)))
+      val txt = Await.result(txtF, Duration.Inf)
+      val ttl = Await.result(ttlF, Duration.Inf)
       var txtByDoc = txt.map(h => h.doc_id -> h.score).toMap
       var ttlByDoc = ttl.map(h => h.doc_id -> h.score).toMap
       if (needFill) {
@@ -443,11 +452,15 @@ object SearchEngine {
         val union = txtByDoc.keySet ++ ttlByDoc.keySet
         val missTxt = (union -- txtByDoc.keySet).toArray
         val missTtl = (union -- ttlByDoc.keySet).toArray
-        if (missTxt.nonEmpty)
-          txtByDoc ++= scoreDocsExact(spark, textRoot, rawTerms, missTxt)
-        if (missTtl.nonEmpty)
-          ttlByDoc ++= scoreDocsExact(spark, titleRoot, rawTerms, missTtl)
-            .view.mapValues(_ * titleBoost).toMap
+        val fillTxtF = Future(
+          if (missTxt.isEmpty) Map.empty[Long, Double]
+          else scoreDocsExact(spark, textRoot, rawTerms, missTxt))
+        val fillTtlF = Future(
+          if (missTtl.isEmpty) Map.empty[Long, Double]
+          else scoreDocsExact(spark, titleRoot, rawTerms, missTtl)
+            .view.mapValues(_ * titleBoost).toMap)
+        txtByDoc ++= Await.result(fillTxtF, Duration.Inf)
+        ttlByDoc ++= Await.result(fillTtlF, Duration.Inf)
       }
       val fused = (txtByDoc.keySet ++ ttlByDoc.keySet).toSeq
         .map(d => (d, combine(txtByDoc.getOrElse(d, 0.0), ttlByDoc.getOrElse(d, 0.0))))
