@@ -200,20 +200,30 @@ object Spimi {
       buckets: Int): Dataset[PostingBlock] = {
     import numbered.sparkSession.implicits._
     val bc = numbered.sparkSession.sparkContext.broadcast(starts)
-    numbered.mapPartitions { it =>
-      val cs = bc.value
-      var cur = 0
-      val cells = it.map { t =>
-        val in = cur < cs.length && t.doc_id >= cs(cur) &&
-          (cur + 1 >= cs.length || t.doc_id < cs(cur + 1))
-        if (!in) {
-          val i = java.util.Arrays.binarySearch(cs, t.doc_id)
-          cur = if (i >= 0) i else -i - 2
+    // prune to (doc_id, text) BEFORE the typed boundary: the inversion never
+    // touches conv_id/role/tool/ts, and InMemoryTableScan prunes columnar
+    // cache buffers per-column — decoding the full NumberedTurn here cost
+    // ~2× the 8-core inversion wall in the round-4 scaling runs (the cache
+    // holds all 8 columns for the corpus_sorted write; this scan reads 2).
+    // select is narrow: partition layout and row order are preserved.
+    numbered.toDF()
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        var cur = 0
+        val cells = it.map { case (doc, text) =>
+          val in = cur < cs.length && doc >= cs(cur) &&
+            (cur + 1 >= cs.length || doc < cs(cur + 1))
+          if (!in) {
+            val i = java.util.Arrays.binarySearch(cs, doc)
+            cur = if (i >= 0) i else -i - 2
+          }
+          (cur, doc, text)
         }
-        (cur, t.doc_id, t.text)
+        new GridSpimiIterator(cells, avgdl, buckets)
       }
-      new GridSpimiIterator(cells, avgdl, buckets)
-    }
   }
 
   /** Resume-path inversion from a written corpus_sorted: one exchange keyed
@@ -231,15 +241,32 @@ object Spimi {
       numPartitions: Int): Dataset[PostingBlock] = {
     import numbered.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, when}
-    // part index as a short codegen-safe chain (P terms, P = partitions)
+    // part index as a short codegen-safe chain (P terms, P = partitions);
+    // prune to (doc_id, text) BEFORE the exchange — the resume path then
+    // ships ~half the corpus bytes the full rows would
     val partCol = (1 until offsets.length - 1).foldLeft(lit(0)) { (acc, p) =>
       acc + when(col("doc_id") >= lit(offsets(p)), 1).otherwise(0)
     }
-    val exchanged = numbered.toDF()
+    val bc = numbered.sparkSession.sparkContext.broadcast(starts)
+    numbered.toDF()
+      .select(col("doc_id"), col("text"))
       .repartition(numPartitions, partCol)
       .sortWithinPartitions(col("doc_id"))
-      .as[graft.model.NumberedTurn]
-    buildBlocksAligned(exchanged, starts, avgdl, buckets)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        var cur = 0
+        val cells = it.map { case (doc, text) =>
+          val in = cur < cs.length && doc >= cs(cur) &&
+            (cur + 1 >= cs.length || doc < cs(cur + 1))
+          if (!in) {
+            val i = java.util.Arrays.binarySearch(cs, doc)
+            cur = if (i >= 0) i else -i - 2
+          }
+          (cur, doc, text)
+        }
+        new GridSpimiIterator(cells, avgdl, buckets)
+      }
   }
 
   /** Growable per-term posting buffer for one grid cell. */
