@@ -107,6 +107,23 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // ES bool must_not composed with a scored match: excluded docIDs from
+    // the must_not terms' pruned postings ride the tombstone aux cogroup
+    "bm25_must_not" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKMustNot(s, idx.paths.root,
+        Seq("join", "window", "vector"), K, Seq("stream"))
+    }),
+    // ES terms query in filter context (OR within the field): allowed set =
+    // union of the values' keyword postings, fed as the range-filter path
+    "bm25_terms_filter" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      IndexCache.keywordField(s, dir, "source")
+      val allowed = graft.search.Booleans.or(s, idx.paths.root,
+        Seq("source:src1", "source:src2"))
+      SearchEngine.topKRangeFiltered(s, idx.paths.root,
+        Seq("join", "window", "vector"), K, allowed)
+    }),
     // ES bool.filter.range over a numeric metadata field composed with the
     // scored query: allowed docIDs from a range-pruned metadata scan feed
     // the shard scorer's exact eval-time filter (full-corpus stats, as ES)
@@ -419,6 +436,11 @@ object SparkEntry {
       docFilter = Some("source = 'src3'")),
     "bm25_filtered_range" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("n_chars BETWEEN 250 AND 330")),
+    "bm25_must_not" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      docFilter = Some(
+        s"len(list_filter(${OracleSql.toks("text")}, x -> x = 'stream')) = 0")),
+    "bm25_terms_filter" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
+      docFilter = Some("source IN ('src1', 'src2')")),
     "bm25_highlight" -> OracleSql.bm25Highlight(Seq("join", "window", "vector"), K, 8),
     "sig_terms" -> OracleSql.significantTerms("join", 10),
     "top_hits_facet" -> OracleSql.topHitsByFacet(Seq("join", "window", "vector"), 3),

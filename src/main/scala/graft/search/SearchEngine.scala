@@ -231,7 +231,8 @@ object SearchEngine {
       k: Int, shardsOpt: Option[Int] = None, robustBounds: Boolean = false,
       minMatch: Int = 1, after: Option[(Double, Long)] = None,
       filters: Seq[String] = Nil,
-      allowedDocs: Option[org.apache.spark.sql.DataFrame] = None): DataFrame = {
+      allowedDocs: Option[org.apache.spark.sql.DataFrame] = None,
+      excludedDocs: Option[org.apache.spark.sql.DataFrame] = None): DataFrame = {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
@@ -301,18 +302,17 @@ object SearchEngine {
     // (tag=true)
     val rangeActive = allowedDocs.isDefined
     val aux: Option[org.apache.spark.sql.Dataset[(Int, Long, Boolean)]] = {
-      val dels =
-        if (!graft.index.Deletes.hasDeletes(paths)) None
-        else Some(spark.read.parquet(paths.deletes)
-          .select($"doc_id").as[Long]
-          .map(d => ((d / width).toInt, d, false)))
-      val allow = allowedDocs.map(df =>
+      def tagged(df: org.apache.spark.sql.DataFrame, tag: Boolean) =
         df.select($"doc_id".cast("long")).as[Long]
-          .map(d => ((d / width).toInt, d, true)))
-      (dels, allow) match {
-        case (Some(a), Some(b)) => Some(a.union(b))
-        case (a, b) => a.orElse(b)
-      }
+          .map(d => ((d / width).toInt, d, tag))
+      // exclusions (tag=false): live tombstones ∪ ES bool.must_not doc sets
+      // — the scorer treats both identically (exact eval-time rejection)
+      val dels =
+        (if (!graft.index.Deletes.hasDeletes(paths)) None
+         else Some(tagged(spark.read.parquet(paths.deletes), false))) ++
+          excludedDocs.map(tagged(_, false))
+      val allow = allowedDocs.map(tagged(_, true))
+      (dels ++ allow).reduceOption(_ union _)
     }
     val hits = aux match {
       case None =>
@@ -365,6 +365,22 @@ object SearchEngine {
       allowedDocs: org.apache.spark.sql.DataFrame): DataFrame = {
     import spark.implicits._
     topKWand(spark, root, rawTerms, k, allowedDocs = Some(allowedDocs))
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  /** ES `bool: {must: match, must_not: …}` — scored top-k excluding every
+    * doc matched by the must_not terms. The excluded docID set comes from
+    * the must_not terms' pruned postings (never a corpus scan) and rides
+    * the same per-shard aux cogroup as tombstones: exact eval-time
+    * rejection, θ-driven skips stay rank-safe, scoring stats untouched
+    * (ES must_not never contributes to scoring).
+    */
+  def topKMustNot(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int, mustNotTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val excluded = Booleans.or(spark, root,
+      graft.core.QueryModel.analyzedTerms(mustNotTerms))
+    topKWand(spark, root, rawTerms, k, excludedDocs = Some(excluded))
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 

@@ -129,6 +129,39 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(rangeDel.map(_._1).toSet.intersect(dead).isEmpty)
   }
 
+  test("must_not and terms-OR filter equal their exhaustive shadows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = Seq("join", "window", "vector")
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+
+    // bool.must_not: scored ranking minus docs containing the excluded term
+    for (mn <- Seq("stream", "join", "zebra")) {
+      val got = hits(SearchEngine.topKMustNot(spark, root, q, 10, Seq(mn)))
+      val mnTok = mn
+      val excluded = Catalog.readDocuments(spark, sfDir)
+        .filter(d => graft.core.Analyzer.tokenize(d.text).contains(mnTok))
+        .select($"doc_id")
+      val want = hits(SearchEngine.topKExhaustive(spark, root, q, Int.MaxValue)
+        .join(excluded, Seq("doc_id"), "left_anti")
+        .orderBy($"score".desc, $"doc_id".asc).limit(10)
+        .select($"doc_id", round($"score", 4).as("score_r4")))
+      assert(got == want, s"must_not '$mn' != shadow")
+    }
+    // must_not of a query term drops every doc scoring on it
+    assert(hits(SearchEngine.topKMustNot(spark, root, Seq("join"), 10,
+      Seq("join"))).isEmpty)
+
+    // terms filter (OR within field) via the allowed-set path
+    val allowed = Booleans.or(spark, root, Seq("source:src1", "source:src2"))
+    val got = hits(SearchEngine.topKRangeFiltered(spark, root, q, 10, allowed))
+    val want = hits(SearchEngine.topKExhaustive(spark, root, q, Int.MaxValue)
+      .join(docs.filter($"source".isin("src1", "src2")).select($"doc_id"), "doc_id")
+      .orderBy($"score".desc, $"doc_id".asc).limit(10)
+      .select($"doc_id", round($"score", 4).as("score_r4")))
+    assert(got == want, "terms-OR filter != shadow")
+  }
+
   test("filter context never changes scores") {
     val q = Seq("join", "window", "vector")
     val filtered = hits(SearchEngine.topKFiltered(spark, root, q, 100, Seq("source:src3"))).toMap
