@@ -616,6 +616,34 @@ object OracleSql {
        |        ORDER BY term LIMIT $maxExpansions)
        |SELECT DISTINCT doc_id FROM tok JOIN exp USING (term) ORDER BY doc_id""".stripMargin
 
+  /** Scored fuzzy (rewrite: scoring_boolean): expansion from the corpus
+    * vocabulary under the same cap/order as the engine's dictionary
+    * expansion, then per-expansion-idf BM25 summed — self-contained SQL,
+    * no engine state.
+    */
+  def bm25Fuzzy(term: String, k: Int, maxDist: Int = 1,
+      maxExpansions: Int = 50): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |exp AS (SELECT term FROM vocab
+       |        WHERE abs(len(term) - ${term.length}) <= $maxDist
+       |          AND levenshtein(term, '$term') <= $maxDist
+       |        ORDER BY term LIMIT $maxExpansions),
+       |dls AS (SELECT doc_id, len(${toks("text")}) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  JOIN exp USING (term) GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** ES percentiles aggregation: exact interpolated quantiles per group. */
   val percentilesValue: String =
     """SELECT event_type,

@@ -107,6 +107,12 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // ES scored fuzzy (rewrite: scoring_boolean): dictionary expansion as a
+    // bool-should of term queries, each with its own idf, summed via WAND
+    "bm25_fuzzy" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      TermQueries.fuzzyScored(s, idx.paths.root, "joln", K, maxDist = 2)
+    }),
     // ES bool must_not composed with a scored match: excluded docIDs from
     // the must_not terms' pruned postings ride the tombstone aux cogroup
     "bm25_must_not" -> ((s, dir) => {
@@ -436,6 +442,7 @@ object SparkEntry {
       docFilter = Some("source = 'src3'")),
     "bm25_filtered_range" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("n_chars BETWEEN 250 AND 330")),
+    "bm25_fuzzy" -> OracleSql.bm25Fuzzy("joln", K, maxDist = 2),
     "bm25_must_not" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(
         s"len(list_filter(${OracleSql.toks("text")}, x -> x = 'stream')) = 0")),

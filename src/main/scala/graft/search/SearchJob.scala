@@ -42,6 +42,7 @@ object SearchJob {
       after: Option[(Double, Long)] = None,
       filters: Seq[String] = Nil,
       range: Option[(String, String, String)] = None,
+      mustNot: Seq[String] = Nil,
       explain: Boolean = false,
       corpus: String = "",
       seed: Long = -1L,
@@ -70,6 +71,9 @@ object SearchJob {
         // `--range ts:2026-01-01..2026-02-01` or `--range turn_idx:0..10`
         // (inclusive bounds — '..' separates them, so timestamp values may
         // contain ':'; docIDs come from a range-pruned corpus scan)
+        // repeatable: ES bool.must_not terms — scored results exclude any
+        // doc matching them (analyzed; never contributes to scoring)
+        case "--must-not" => a = a.copy(mustNot = a.mustNot :+ argv(i + 1)); i += 2
         case "--range" =>
           val Array(f, bounds) = argv(i + 1).split(":", 2)
           val Array(lo, hi) = bounds.split("\\.\\.", 2)
@@ -85,8 +89,9 @@ object SearchJob {
     require(a.query.nonEmpty || a.mode == "mlt", "--query is required")
     require(a.from == 0 || a.after.isEmpty, "--from and --after are mutually exclusive")
     require(a.mode == "wand" || (a.from == 0 && a.after.isEmpty && a.minMatch <= 1 &&
-      !a.robustBounds && a.filters.isEmpty && !a.explain && a.range.isEmpty),
-      "--from/--after/--min-match/--robust-bounds/--filter/--range/--explain require --mode wand")
+      !a.robustBounds && a.filters.isEmpty && !a.explain && a.range.isEmpty &&
+      a.mustNot.isEmpty),
+      "--from/--after/--min-match/--robust-bounds/--filter/--range/--must-not/--explain require --mode wand")
     require(a.mode != "mlt" || a.seed >= 0,
       "--mode mlt requires --seed (--corpus optional: defaults to the index's own corpus)")
     require(!a.explain || (a.from == 0 && a.after.isEmpty),
@@ -130,9 +135,13 @@ object SearchJob {
           corpus.filter(col(f) >= lit(lo).cast(dt) && col(f) <= lit(hi).cast(dt))
             .select(col("doc_id"))
         }
+        val excluded =
+          if (a.mustNot.isEmpty) None
+          else Some(Booleans.or(spark, a.index,
+            graft.core.QueryModel.analyzedTerms(a.mustNot)))
         SearchEngine.topKWand(spark, a.index, terms, a.k,
           robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after,
-          filters = a.filters, allowedDocs = allowed)
+          filters = a.filters, allowedDocs = allowed, excludedDocs = excluded)
       case "exhaustive" => SearchEngine.topKExhaustive(spark, a.index, terms, a.k)
       case "wildcard" => TermQueries.wildcard(spark, a.index, a.query.trim)
       case "mlt" => MoreLikeThis.topK(spark, a.index, a.corpus, a.seed, a.k)

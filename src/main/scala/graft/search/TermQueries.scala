@@ -109,6 +109,27 @@ object TermQueries {
     * (capped at `maxExpansions`, term-ordered — ES's max_expansions), then
     * the single bucket-pruned disjunction scan.
     */
+  /** SCORED fuzzy query — the ES `fuzzy`/`match`-fuzziness shape with
+    * `rewrite: scoring_boolean` (public ES rewrite mode): the dictionary
+    * expansion becomes a bool-should of term queries, each expansion
+    * scoring with its OWN idf, summed per doc by the standard WAND path.
+    * Expansion is capped in term order (max_expansions), like every other
+    * dictionary-expanded query here — the oracle applies the same cap to
+    * the same corpus-derived vocabulary, so it needs no engine state.
+    */
+  def fuzzyScored(spark: SparkSession, root: String, term: String, k: Int,
+      maxDist: Int = 1, maxExpansions: Int = 50): DataFrame = {
+    import spark.implicits._
+    val expanded = Catalog.readDictionary(spark, IndexPaths(root))
+      .toDF()
+      .filter(abs(length($"term") - lit(term.length)) <= maxDist &&
+        levenshtein($"term", lit(term)) <= maxDist)
+      .orderBy($"term")
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+    graft.search.SearchEngine.topKWandRounded(spark, root, expanded, k)
+  }
+
   def fuzzy(spark: SparkSession, root: String, term: String,
       maxDist: Int = 1, maxExpansions: Int = 50): DataFrame = {
     import spark.implicits._
