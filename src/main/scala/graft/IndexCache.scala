@@ -51,11 +51,13 @@ object IndexCache {
       delTerms: Seq[String]): Indexer.BuildResult = synchronized {
     built.getOrElseUpdate(s"$sfDir#deleted#${delTerms.mkString(",")}", {
       val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      // root carries the delTerms hash like the cache key: two variants in
-      // one JVM would otherwise share a root where the first variant's
-      // published deletes pointer survives the second's rebuild (ADVICE r3)
+      // root carries the sanitized delTerms like the cache key: two variants
+      // in one JVM would otherwise share a root where the first variant's
+      // published deletes pointer survives the second's rebuild (ADVICE r3;
+      // the full terms, not a 32-bit hash — hash collisions would silently
+      // recreate the shared-root bug)
       val root = s"/tmp/graft-index-$jvmTag/$key/" +
-        s"documents_deleted_${delTerms.mkString(",").hashCode.toHexString}"
+        s"documents_deleted_${delTerms.mkString("_").replaceAll("[^A-Za-z0-9_]", "")}"
       val res = Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
         buckets = Buckets, targetRun = TargetRun)
       graft.index.Deletes.deleteByQuery(spark, root, delTerms)
@@ -71,7 +73,7 @@ object IndexCache {
     built.getOrElseUpdate(s"$sfDir#purged#${delTerms.mkString(",")}", {
       val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val root = s"/tmp/graft-index-$jvmTag/$key/" +
-        s"documents_purged_${delTerms.mkString(",").hashCode.toHexString}"
+        s"documents_purged_${delTerms.mkString("_").replaceAll("[^A-Za-z0-9_]", "")}"
       val res = Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
         buckets = Buckets, targetRun = TargetRun)
       graft.index.Deletes.deleteByQuery(spark, root, delTerms)

@@ -67,7 +67,15 @@ object Bpe {
       parts
     }
 
-    def countWord(word: String): Int = tokens(word).length
+    // per-word memo: the corpus-wide counting pass would otherwise re-run
+    // the merge loop once per OCCURRENCE (O(total tokens)) where once per
+    // DISTINCT word (O(vocabulary)) suffices; concurrent tasks share the
+    // broadcast model, hence the concurrent map
+    @transient private lazy val countMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+    def countWord(word: String): Int =
+      countMemo.computeIfAbsent(word, w => tokens(w).length)
 
     /** BPE token count of a text = Σ over its analyzer tokens. */
     def countText(text: String): Long = {

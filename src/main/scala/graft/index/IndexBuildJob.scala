@@ -179,6 +179,19 @@ object IndexBuildJob {
       "+" + Catalog.fingerprint(paths.gridBounds)
     stage("spimi", s2Fp, paths.postings) {
       val stats = Catalog.readCorpusStats(spark, paths)
+      // pre-round-4 index resumed past docid_assign: no grid_bounds exists
+      // and docid_assign stays skipped (its input fingerprint is unchanged),
+      // so synthesize a valid part-aligned geometry from the corpus size —
+      // any such geometry yields correct disjoint-ascending runs; only
+      // resume-vs-cold bit-identity (which needs the ORIGINAL bounds) is
+      // forfeited for this legacy case
+      if (!graft.io.Fs.exists(paths.gridBounds)) {
+        val n = stats.n_docs
+        val even = Array.tabulate(parts + 1)(p =>
+          math.min(n, p * ((n + parts - 1) / parts)))
+        Catalog.writeGridBounds(spark, paths, even,
+          Spimi.cellStarts(even, a.targetRun))
+      }
       val (offsets, starts) = Catalog.readGridBounds(spark, paths)
       val blocks = exchanged match {
         case Some(cached) =>

@@ -77,8 +77,19 @@ object Indexer {
     val blocks = Spimi.buildBlocksGrid(docs, stats.avgdl, buckets, grids, docIdSpace, numPartitions)
     Catalog.writePostings(blocks, paths)
 
-    // S4: dictionary — metadata-only aggregation over block headers (the
-    // term-keyed merge; payload columns pruned at the scan)
+    // S4: the term-keyed merge (dictionary) + stats + meta
+    finalizeIndex(spark, paths, stats, buckets, targetRun, docIdSpace)
+  }
+
+  /** Shared finalize: dictionary from block headers (metadata-only
+    * aggregation, payloads pruned at the scan), corpus stats, meta — ONE
+    * definition for both build paths so the aggregation can never drift
+    * between them.
+    */
+  private def finalizeIndex(spark: SparkSession, paths: IndexPaths,
+      stats: CorpusStats, buckets: Int, targetRun: Long,
+      docIdSpace: Long): BuildResult = {
+    import spark.implicits._
     val dict = spark.read.parquet(paths.postings)
       .groupBy($"term")
       .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
@@ -86,7 +97,6 @@ object Indexer {
       .select($"term", $"df", $"cf", $"max_tf_norm")
       .as[DictEntry]
     Catalog.writeDictionary(dict, paths)
-
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
     val meta = IndexMeta(buckets, targetRun, docIdSpace)
     Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
@@ -115,18 +125,9 @@ object Indexer {
     val starts = Spimi.cellStarts(offsets, targetRun)
     Catalog.writePostings(
       Spimi.buildBlocksAligned(numbered, starts, stats.avgdl, buckets), paths)
-    val dict = spark.read.parquet(paths.postings)
-      .groupBy($"term")
-      .agg(sum($"n_docs").as("df"), sum($"sum_tf").as("cf"),
-        max($"max_tf_norm").as("max_tf_norm"))
-      .select($"term", $"df", $"cf", $"max_tf_norm")
-      .as[DictEntry]
-    Catalog.writeDictionary(dict, paths)
-    Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
-    val meta = IndexMeta(buckets, targetRun, stats.n_docs)
-    Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
+    val res = finalizeIndex(spark, paths, stats, buckets, targetRun, stats.n_docs)
     numbered.unpersist(blocking = false)
-    BuildResult(paths, stats, meta)
+    res
   }
 
   def readMeta(spark: SparkSession, root: String): IndexMeta = {

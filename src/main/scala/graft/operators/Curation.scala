@@ -121,13 +121,19 @@ object Curation {
         .toDF("doc_id", "n_tokens"))
   }
 
+  private val bpeOracleTables = scala.collection.mutable.Map[String, Seq[(String, Int)]]()
   private def recordBpeOracle(spark: SparkSession, sfDir: String,
       model: graft.core.Bpe.Model): Unit = {
     import spark.implicits._
-    val vocab = Catalog.readTable(spark, sfDir, "documents")
-      .select(explode(Analyzer.tokensCol($"text")).as("w"))
-      .distinct().as[String].collect().sorted
-    lastBpeOracle = Some(vocab.map(w => w -> model.countWord(w)).toSeq)
+    // both BPE queries record; compute the vocabulary table once per sfDir
+    lastBpeOracle = Some(synchronized {
+      bpeOracleTables.getOrElseUpdate(sfDir, {
+        val vocab = Catalog.readTable(spark, sfDir, "documents")
+          .select(explode(Analyzer.tokensCol($"text")).as("w"))
+          .distinct().as[String].collect().sorted
+        vocab.map(w => w -> model.countWord(w)).toSeq
+      })
+    })
   }
 
   private def packByCounts(spark: SparkSession, budget: Long,

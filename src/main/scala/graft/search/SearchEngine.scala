@@ -378,9 +378,12 @@ object SearchEngine {
   def topKMustNot(spark: SparkSession, root: String, rawTerms: Seq[String],
       k: Int, mustNotTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val excluded = Booleans.or(spark, root,
-      graft.core.QueryModel.analyzedTerms(mustNotTerms))
-    topKWand(spark, root, rawTerms, k, excludedDocs = Some(excluded))
+    // terms analyzing to nothing exclude nothing (ES drops empty clauses;
+    // Booleans.or would otherwise throw on the empty list)
+    val terms = graft.core.QueryModel.analyzedTerms(mustNotTerms)
+    val excluded =
+      if (terms.isEmpty) None else Some(Booleans.or(spark, root, terms))
+    topKWand(spark, root, rawTerms, k, excludedDocs = excluded)
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
@@ -450,9 +453,17 @@ object SearchEngine {
       // the two per-field passes are independent Spark jobs — submit them
       // concurrently from the driver (the ES coordinator fans out to every
       // field/shard in parallel; sequential submission serialized two
-      // cluster round-trips for no reason)
-      val txtF = Future(topKWand(spark, textRoot, rawTerms, w).as[Hit].collect())
-      val ttlF = Future(topKWand(spark, titleRoot, rawTerms, w).as[Hit].collect()
+      // cluster round-trips for no reason). Each future pins the ACTIVE
+      // session first: it runs on a global-pool thread whose thread-local
+      // session is unset, and path/version resolution (Fs.conf) falls back
+      // to a bare Hadoop Configuration without the session's spark.hadoop.*
+      // settings otherwise — latent s3a/hdfs credential failures.
+      def inSession[T](body: => T): Future[T] = Future {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        body
+      }
+      val txtF = inSession(topKWand(spark, textRoot, rawTerms, w).as[Hit].collect())
+      val ttlF = inSession(topKWand(spark, titleRoot, rawTerms, w).as[Hit].collect()
         .map(h => Hit(h.doc_id, titleBoost * h.score)))
       val txt = Await.result(txtF, Duration.Inf)
       val ttl = Await.result(ttlF, Duration.Inf)
@@ -468,10 +479,10 @@ object SearchEngine {
         val union = txtByDoc.keySet ++ ttlByDoc.keySet
         val missTxt = (union -- txtByDoc.keySet).toArray
         val missTtl = (union -- ttlByDoc.keySet).toArray
-        val fillTxtF = Future(
+        val fillTxtF = inSession(
           if (missTxt.isEmpty) Map.empty[Long, Double]
           else scoreDocsExact(spark, textRoot, rawTerms, missTxt))
-        val fillTtlF = Future(
+        val fillTtlF = inSession(
           if (missTtl.isEmpty) Map.empty[Long, Double]
           else scoreDocsExact(spark, titleRoot, rawTerms, missTtl)
             .view.mapValues(_ * titleBoost).toMap)

@@ -97,6 +97,28 @@ class ResumeSpec extends AnyFunSuite {
       assert(hits(s"$dir/compacted", terms) == hits(s"$dir/plain", terms))
   }
 
+  test("pre-round-4 index (no grid_bounds) resumes: spimi synthesizes geometry") {
+    val dir = s"/tmp/graft-resume6-${System.nanoTime()}"
+    writeTurnsFixture(s"$dir/turns")
+    build(s"$dir/turns", s"$dir/idx", resume = false)
+    import scala.reflect.io.Directory
+    // simulate a legacy index: drop grid_bounds with the later stages
+    for (d <- Seq("grid_bounds", "postings", "dictionary"))
+      new Directory(new java.io.File(s"$dir/idx/$d")).deleteRecursively()
+    import spark.implicits._
+    val kept = spark.read.parquet(s"$dir/idx/manifests").as[graft.model.ManifestEntry]
+      .filter(m => m.stage != "spimi" && m.stage != "finalize").collect().toSeq
+    kept.toDS().write.mode(SaveMode.Overwrite).parquet(s"$dir/idx/manifests_new")
+    new Directory(new java.io.File(s"$dir/idx/manifests")).deleteRecursively()
+    new java.io.File(s"$dir/idx/manifests_new").renameTo(new java.io.File(s"$dir/idx/manifests"))
+
+    val sum = build(s"$dir/turns", s"$dir/idx", resume = true)
+    assert(sum.stagesSkipped == Seq("docid_assign"))
+    assert(sum.stagesRun == Seq("spimi", "finalize"))
+    val hits = SearchEngine.topKWand(spark, s"$dir/idx", Seq(Fixtures.term(0)), 5)
+    assert(hits.count() == 5, "legacy resume must produce a queryable index")
+  }
+
   test("changed input fingerprint cascades a full re-run") {
     val dir = s"/tmp/graft-resume3-${System.nanoTime()}"
     writeTurnsFixture(s"$dir/turns")
