@@ -644,6 +644,15 @@ object OracleSql {
        |FROM contrib GROUP BY doc_id
        |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Field-sorted search twin: docs matching the term, top-k by field. */
+  def sortByField(term: String, field: String, k: Int): String =
+    s"""SELECT doc_id, $field FROM documents
+       |WHERE doc_id IN (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |  WHERE term = '$term')
+       |ORDER BY $field DESC, doc_id ASC LIMIT $k""".stripMargin
+
   /** ES percentiles aggregation: exact interpolated quantiles per group. */
   val percentilesValue: String =
     """SELECT event_type,

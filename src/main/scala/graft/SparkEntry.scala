@@ -107,6 +107,12 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // ES field-sorted search (sort: [{n_chars: desc}]): unscored match +
+    // metadata join + TakeOrdered — sorting never scores, as in ES
+    "sort_by_field" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.topKByField(s, idx.paths.root, dir, Seq("join"), "n_chars", K)
+    }),
     // ES scored fuzzy (rewrite: scoring_boolean): dictionary expansion as a
     // bool-should of term queries, each with its own idf, summed via WAND
     "bm25_fuzzy" -> ((s, dir) => {
@@ -443,6 +449,7 @@ object SparkEntry {
     "bm25_filtered_range" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("n_chars BETWEEN 250 AND 330")),
     "bm25_fuzzy" -> OracleSql.bm25Fuzzy("joln", K, maxDist = 2),
+    "sort_by_field" -> OracleSql.sortByField("join", "n_chars", K),
     "bm25_must_not" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(
         s"len(list_filter(${OracleSql.toks("text")}, x -> x = 'stream')) = 0")),

@@ -387,6 +387,28 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** ES field-sorted search (`sort: [{field: desc}]`): the matched doc set
+    * (filter context — sorting never scores, so the match is the unscored
+    * index path) joined to the metadata column, top-k by the field. Plan:
+    * pruned postings decode → broadcast-ready semi-join against the
+    * column-pruned metadata scan → TakeOrderedAndProject — no corpus sort,
+    * no score computation (ES skips scoring for field sorts too).
+    */
+  def topKByField(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], field: String, k: Int,
+      asc: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = Booleans.or(spark, root,
+      graft.core.QueryModel.analyzedTerms(rawTerms))
+    val meta = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", col(field))
+    val sortCol = if (asc) col(field).asc else col(field).desc
+    matched.join(meta, "doc_id")
+      .orderBy(sortCol, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", col(field))
+  }
+
   /** Driver-contract shape for the WAND path. */
   def topKWandRounded(spark: SparkSession, root: String,
       rawTerms: Seq[String], k: Int): DataFrame = {

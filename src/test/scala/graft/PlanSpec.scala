@@ -33,6 +33,20 @@ class PlanSpec extends AnyFunSuite {
       s"facet top-k must have a map-side partial pass:\n$p")
   }
 
+  test("range-filter metadata scan pushes the predicate; field sort is TakeOrdered") {
+    import org.apache.spark.sql.functions.col
+    val allowed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("n_chars").between(250L, 330L)).select(col("doc_id"))
+    val p1 = plan(SearchEngine.topKRangeFiltered(
+      spark, idx.paths.root, Seq("join", "window"), 10, allowed))
+    assert(p1.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,250)"),
+      s"range predicate must reach the parquet scan:\n$p1")
+    val p2 = plan(SearchEngine.topKByField(
+      spark, idx.paths.root, sfDir, Seq("join"), "n_chars", 10))
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"field sort must be a bounded top-k, not a full sort:\n$p2")
+  }
+
   test("postings scan pushes term filter and prunes buckets") {
     val p = plan(SearchEngine.topKWand(spark, idx.paths.root, Seq("join", "window"), 10))
     assert(p.contains("PushedFilters") && p.contains("term"),
