@@ -644,6 +644,38 @@ object OracleSql {
        |FROM contrib GROUP BY doc_id
        |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** SynonymQuery twin: per group, df = max member df, tf = summed member
+    * tf; groups sum like ordinary terms.
+    */
+  def synonymTopK(groups: Seq[Seq[String]], k: Int): String = {
+    val gs = groups.map(_.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted)
+    val contribs = gs.zipWithIndex.map { case (g, i) =>
+      s"""g${i}_tf AS (
+         |  SELECT doc_id, count(*) AS tf FROM tok
+         |  WHERE term IN ${inList(g)} GROUP BY doc_id),
+         |g${i}_df AS (
+         |  SELECT max(df) AS df FROM (
+         |    SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |    WHERE term IN ${inList(g)} GROUP BY term)),
+         |g${i}_c AS (
+         |  SELECT t.doc_id,
+         |         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |         (t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / s.avgdl))) AS c
+         |  FROM g${i}_tf t JOIN dls USING (doc_id)
+         |  CROSS JOIN g${i}_df d CROSS JOIN stats s)""".stripMargin
+    }
+    val unions = gs.indices.map(i => s"SELECT doc_id, c FROM g${i}_c").mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |dls AS (SELECT doc_id, len(${toks("text")}) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |${contribs.mkString(",\n")},
+       |allc AS (
+       |  $unions)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM allc GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Field-sorted search twin: docs matching the term, top-k by field. */
   def sortByField(term: String, field: String, k: Int): String =
     s"""SELECT doc_id, $field FROM documents

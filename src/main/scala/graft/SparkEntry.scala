@@ -107,6 +107,13 @@ object SparkEntry {
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
     }),
+    // query-time synonyms (Lucene SynonymQuery): {join, merge} as one
+    // pseudo-term (max df, summed tf) + plain 'window'
+    "bm25_synonyms" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.synonymTopK(s, idx.paths.root,
+        Seq(Seq("join", "merge"), Seq("window")), K)
+    }),
     // ES field-sorted search (sort: [{n_chars: desc}]): unscored match +
     // metadata join + TakeOrdered — sorting never scores, as in ES
     "sort_by_field" -> ((s, dir) => {
@@ -450,6 +457,7 @@ object SparkEntry {
       docFilter = Some("n_chars BETWEEN 250 AND 330")),
     "bm25_fuzzy" -> OracleSql.bm25Fuzzy("joln", K, maxDist = 2),
     "sort_by_field" -> OracleSql.sortByField("join", "n_chars", K),
+    "bm25_synonyms" -> OracleSql.synonymTopK(Seq(Seq("join", "merge"), Seq("window")), K),
     "bm25_must_not" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(
         s"len(list_filter(${OracleSql.toks("text")}, x -> x = 'stream')) = 0")),

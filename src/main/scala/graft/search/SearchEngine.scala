@@ -613,6 +613,72 @@ object SearchEngine {
       .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 
+  /** Query-time synonyms — the public Lucene SynonymQuery semantics ES
+    * applies to synonym-expanded positions: each synonym GROUP scores as a
+    * single pseudo-term with df = max of the member terms' dfs (blended
+    * rarity) and tf = SUM of the member tfs in the doc, then groups sum
+    * like ordinary query terms. Groups must be disjoint.
+    *
+    * Plan: one pruned postings scan over all member terms (bucket pruning +
+    * term pushdown), per-doc group-tf aggregation (uniform doc key,
+    * map-side partials), top-k. Group-summed tf has no per-term upper
+    * bound, so this is the exhaustive-pruned shape, not WAND — same as
+    * cross_fields, and still never a corpus scan.
+    */
+  def synonymTopK(spark: SparkSession, root: String,
+      groups: Seq[Seq[String]], k: Int): DataFrame = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val analyzed = groups.map(g =>
+      graft.core.QueryModel.analyzedTerms(g)).filter(_.nonEmpty)
+    require(analyzed.flatten.distinct.length == analyzed.flatten.length,
+      "synonym groups must be disjoint")
+    if (analyzed.isEmpty)
+      return emptyHits(spark).select($"doc_id", round($"score", 4).as("score_r4"))
+    val stats = Catalog.readCorpusStats(spark, paths)
+    val dfByTerm = Catalog.readDictionary(spark, paths)
+      .filter($"term".isin(analyzed.flatten: _*))
+      .collect().map(d => d.term -> d.df).toMap
+    val idfs = analyzed.map(g =>
+      Bm25.idf(stats.n_docs, g.map(dfByTerm.getOrElse(_, 0L)).max)).toArray
+    val groupOf = analyzed.zipWithIndex
+      .flatMap { case (g, i) => g.map(_ -> i) }.toMap
+    val bcGroupOf = spark.sparkContext.broadcast(groupOf)
+    val bcIdfs = spark.sparkContext.broadcast(idfs)
+    val avgdl = stats.avgdl
+
+    queryPostings(spark, paths, analyzed.flatten, meta.buckets)
+      .flatMap { b =>
+        bcGroupOf.value.get(b.term) match {
+          case None => Iterator.empty
+          case Some(g) =>
+            val d = Blocks.decode(b)
+            (0 until d.docs.length).iterator
+              .map(i => (d.docs(i), g, d.tfs(i), d.dls(i)))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val idf = bcIdfs.value
+        val tfs = new Array[Int](idf.length)
+        var dl = 0
+        it.foreach { case (_, g, tf, d) => tfs(g) += tf; dl = d }
+        var sc = 0.0
+        var g = 0
+        while (g < idf.length) { // fixed group order: deterministic summation
+          if (tfs(g) > 0) sc += idf(g) * Bm25.tfNorm(tfs(g), dl.toLong, avgdl)
+          g += 1
+        }
+        (doc, sc)
+      }
+      .toDF("doc_id", "score")
+      .transform(df => graft.index.Deletes.filterLive(df, root))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
   /** Exact BM25 scores for a specific (small, broadcast) docID set — the
     * targeted-lookup shape shared with explainTopK: the pruned postings
     * scan with per-posting membership filtering; only |docIds| rows leave.

@@ -68,6 +68,26 @@ class EsSurfaceSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).toSeq.sorted.reverse)
   }
 
+  test("synonym query: singleton groups reduce to plain BM25; grouping changes scoring") {
+    // Lucene SynonymQuery with every group a single term is algebraically
+    // plain BM25 (max df over one term = its df; summed tf = its tf)
+    val q = Seq("join", "window", "vector")
+    val single = SearchEngine.synonymTopK(spark, root, q.map(Seq(_)), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = SearchEngine.topKWandRounded(spark, root, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(single == plain, "singleton synonym groups must equal plain BM25")
+    // a real group blends: must differ from treating members as independent
+    val grouped = SearchEngine.synonymTopK(spark, root,
+      Seq(Seq("join", "merge"), Seq("window")), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val independent = SearchEngine.topKWandRounded(spark, root,
+      Seq("join", "merge", "window"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(grouped != independent,
+      "blended df + summed tf must differ from independent terms")
+  }
+
   test("top_hits: per-bucket ranks contiguous, globally best doc is rank 1 of its bucket") {
     import spark.implicits._
     val q = Seq("join", "window", "vector")
