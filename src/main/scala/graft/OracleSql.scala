@@ -1137,6 +1137,35 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** span_near(in_order=false) twin: one position per term, all distinct,
+    * within a window of span ≤ (n−1)+slop, any order.
+    */
+  def spanNearUnordered(phrase: Seq[String], slop: Int): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_)).distinct
+    val n = terms.length
+    val maxSpan = (n - 1) + slop
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.term = '$t'"
+    }.mkString("\n")
+    val poss = terms.indices.map(i => s"p$i.pos")
+    val spanCond =
+      s"greatest(${poss.mkString(", ")}) - least(${poss.mkString(", ")}) <= $maxSpan"
+    val distinctCond = (for {
+      i <- terms.indices; j <- terms.indices if i < j
+    } yield s"p$i.pos <> p$j.pos").mkString(" AND ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |$joins
+       |WHERE p0.term = '${terms.head}' AND $spanCond AND $distinctCond
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** match_phrase_prefix twin: exact adjacent leading terms, last position
     * holds any token with the prefix. The engine caps dictionary expansion
     * at max_expansions in term order — the fixture vocabulary (≤31 terms)

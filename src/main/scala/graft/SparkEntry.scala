@@ -391,6 +391,13 @@ object SparkEntry {
       graft.index.PositionalIndex.phrasePrefixMatch(s, idx.paths.root,
         Seq("join"), "h", idx.meta.buckets)
     }),
+    // Lucene span_near in_order=false: join + hash within a 3-wide window,
+    // any order (the unordered complement of phrase_slop)
+    "phrase_near_unordered" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.spanNearUnordered(s, idx.paths.root,
+        Seq("join", "hash"), 2, idx.meta.buckets)
+    }),
     // ES match_phrase slop (ordered): "join ... hash" within 2 intervening
     "phrase_slop" -> ((s, dir) => {
       val idx = IndexCache.positionalIndex(s, dir)
@@ -526,6 +533,7 @@ object SparkEntry {
     "phrase_topk" -> OracleSql.phraseTopK(Seq("join", "hash"), K),
     "phrase_slop" -> OracleSql.phraseMatchSloppy(Seq("join", "hash"), 2),
     "phrase_prefix" -> OracleSql.phrasePrefix(Seq("join"), "h"),
+    "phrase_near_unordered" -> OracleSql.spanNearUnordered(Seq("join", "hash"), 2),
     "bm25_rescore" -> OracleSql.rescoreTopK(Seq("join", "window", "vector"), K, 50, 1.0, 2.0),
     "bool_and_bitmap" -> OracleSql.boolAnd(Seq("join", "hash")),
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),

@@ -288,6 +288,73 @@ object PositionalIndex {
       .orderBy($"doc_id")
   }
 
+  /** ES/Lucene `span_near` with `in_order: false`: the doc matches when one
+    * position per term (all distinct) fits inside a window of span
+    * ≤ (n−1) + slop, in ANY order — the unordered complement of
+    * [[phraseMatchSloppy]]. Decision per doc is a sliding window over the
+    * merged position stream: advance the right edge, count distinct terms
+    * covered with multiplicity, shrink from the left while all terms stay
+    * covered — O(Σ positions) per doc, same scan/shuffle shape as
+    * [[phraseTf]]. Exactness: a qualifying window exists iff some minimal
+    * window covering all terms has span ≤ maxSpan, and the sweep visits
+    * every minimal window.
+    */
+  def spanNearUnordered(spark: SparkSession, root: String, phrase: Seq[String],
+      slop: Int, buckets: Int): DataFrame = {
+    import spark.implicits._
+    val terms = phrase.flatMap(Analyzer.tokenize(_)).distinct
+    require(terms.length >= 2, "span_near needs >= 2 distinct terms")
+    val qBuckets = terms.map(Blocks.bucketOf(_, buckets)).distinct
+    val maxSpan = (terms.length - 1) + slop
+    val termIdx = terms.zipWithIndex.toMap
+    val bcIdx = spark.sparkContext.broadcast(termIdx)
+
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(terms: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val idx = bcIdx.value
+        val n = idx.size
+        val events = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (pos, term)
+        val seen = new Array[Boolean](n)
+        it.foreach { case (_, t, ps) =>
+          val ti = idx(t)
+          seen(ti) = true
+          ps.foreach(p => events += ((p, ti)))
+        }
+        if (!seen.forall(identity)) Iterator.empty
+        else {
+          val ev = events.sortBy(_._1).toArray
+          val counts = new Array[Int](n)
+          var covered = 0
+          var lo = 0
+          var found = false
+          var hi = 0
+          while (!found && hi < ev.length) {
+            val (p, t) = ev(hi)
+            if (counts(t) == 0) covered += 1
+            counts(t) += 1
+            while (covered == n && ev(lo)._1 < p - maxSpan) {
+              val (_, lt) = ev(lo)
+              counts(lt) -= 1
+              if (counts(lt) == 0) covered -= 1
+              lo += 1
+            }
+            if (covered == n && p - ev(lo)._1 <= maxSpan) found = true
+            hi += 1
+          }
+          if (found) Iterator.single(doc) else Iterator.empty
+        }
+      }
+      .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
+      .orderBy($"doc_id")
+  }
+
   /** ES `match_phrase_prefix` (search-as-you-type): the leading terms match
     * as an exact adjacent phrase; the LAST position may hold ANY indexed
     * term starting with `prefix`, expanded from the dictionary in term

@@ -83,6 +83,62 @@ class PositionalIndexSpec extends AnyFunSuite {
       "max_expansions must cap in term order")
   }
 
+  test("span_near unordered equals brute force; superset of ordered slop") {
+    import spark.implicits._
+    val idx = IndexCache.positionalIndex(spark, sfDir)
+    val docs = graft.io.Catalog.readDocuments(spark, sfDir).collect()
+    def brute(terms: Seq[String], slop: Int): Seq[Long] = {
+      val span = terms.length - 1 + slop
+      docs.filter { d =>
+        val t = graft.core.Analyzer.tokenize(d.text)
+        val positions = terms.map(w => t.indices.filter(i => t(i) == w))
+        positions.forall(_.nonEmpty) && {
+          // exact: try every combination via minimal-window sweep on merged events
+          val ev = positions.zipWithIndex
+            .flatMap { case (ps, ti) => ps.map(p => (p, ti)) }.sortBy(_._1)
+          val counts = new Array[Int](terms.length)
+          var covered = 0; var lo = 0; var ok = false
+          for ((p, ti) <- ev if !ok) {
+            if (counts(ti) == 0) covered += 1
+            counts(ti) += 1
+            while (covered == terms.length && ev(lo)._1 < p - span) {
+              val lt = ev(lo)._2
+              counts(lt) -= 1; if (counts(lt) == 0) covered -= 1; lo += 1
+            }
+            if (covered == terms.length && p - ev(lo)._1 <= span) ok = true
+          }
+          ok
+        }
+      }.map(_.doc_id).sorted.toSeq
+    }
+    // independence check: brute twin uses the same sweep — cross-check the
+    // 2-term case against a genuinely independent all-pairs scan too
+    def brutePairs(a: String, b: String, slop: Int): Seq[Long] =
+      docs.filter { d =>
+        val t = graft.core.Analyzer.tokenize(d.text)
+        val pa = t.indices.filter(i => t(i) == a)
+        val pb = t.indices.filter(i => t(i) == b)
+        pa.exists(x => pb.exists(y => x != y && math.abs(x - y) <= 1 + slop))
+      }.map(_.doc_id).sorted.toSeq
+    for ((terms, slop) <- Seq((Seq("join", "hash"), 2), (Seq("window", "join"), 0),
+        (Seq("join", "hash", "window"), 3))) {
+      val got = graft.index.PositionalIndex.spanNearUnordered(
+        spark, idx.paths.root, terms, slop, idx.meta.buckets)
+        .as[Long].collect().toSeq
+      assert(got == brute(terms, slop), s"span_near $terms slop=$slop")
+      if (terms.length == 2)
+        assert(got == brutePairs(terms(0), terms(1), slop))
+      // unordered accepts every ordered match
+      if (terms.length == 2) {
+        val ordered = graft.index.PositionalIndex.phraseMatchSloppy(
+          spark, idx.paths.root, terms, slop, idx.meta.buckets)
+          .as[Long].collect().toSet
+        assert(ordered.subsetOf(got.toSet),
+          "ordered slop matches must be a subset of unordered span_near")
+      }
+    }
+  }
+
   test("positional block roundtrip") {
     import spark.implicits._
     val blocks = spark.read.parquet(PositionalIndex.pathOf(
