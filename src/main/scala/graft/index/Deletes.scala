@@ -185,10 +185,12 @@ object Deletes {
     // merge pass: drop tombstoned docs, re-encode full blocks, bounds
     // against the LIVE avgdl. Broadcast path streams blocks directly;
     // join path explodes to posting rows, anti-joins the tombstones
-    // (distributed — no driver set), and re-encodes per (bucket, term) in
-    // ascending docID order, which is EXACTLY the row stream MergeIterator
-    // sees after its membership skip — the outputs are bit-identical
-    // (DeletesSpec pins a majority-dead index through this path).
+    // (distributed — no driver set), and re-encodes per (term, docID cell)
+    // in ascending docID order — within one cell EXACTLY the row stream
+    // MergeIterator sees after its membership skip, so single-cell corpora
+    // produce bit-identical output (DeletesSpec pins a majority-dead index
+    // through this path) and multi-cell corpora produce the standard
+    // disjoint-ascending salted-run layout with no per-term straggler.
     val postingsNew = s"${paths.postingsBase}_staging"
     val merged =
       if (useBroadcast)
@@ -197,7 +199,17 @@ object Deletes {
           .sortWithinPartitions($"bucket", $"term", $"first_doc")
           .mapPartitions(rows =>
             new Compaction.MergeIterator(rows, avgdl, meta.buckets, bcDel.value))
-      else
+      else {
+        // Re-encode keyed by (term, docID cell), run_id = cell index: a head
+        // term ('the' at corpus scale) splits across doc_id_space/cellDocs
+        // tasks instead of one straggler, and the resulting runs are disjoint
+        // ascending docID ranges with ascending run_id — exactly the salted
+        // run invariant the rest of the engine (WAND, Compaction) already
+        // holds. With the default cell width any corpus under 8M docIDs is a
+        // single cell (run 0), so the output stays byte-identical to the
+        // broadcast path there (DeletesSpec pins this on its fixture).
+        val cellDocs = spark.conf.getOption("spark.graft.purge.cellDocs")
+          .map(_.toLong).getOrElse(8L << 20)
         Catalog.readPostings(spark, paths)
           .flatMap { b =>
             val d = Blocks.decode(b)
@@ -206,12 +218,14 @@ object Deletes {
           }
           .toDF("term", "doc_id", "tf", "dl")
           .join(delDf, Seq("doc_id"), "left_anti")
-          .repartition($"term")
-          .sortWithinPartitions($"term", $"doc_id")
+          .withColumn("cell", (col("doc_id") / cellDocs).cast("int"))
+          .repartition($"term", $"cell")
+          .sortWithinPartitions($"term", $"cell", $"doc_id")
           // the join moved doc_id first; tuple encoders bind positionally
-          .select($"term", $"doc_id", $"tf", $"dl")
-          .as[(String, Long, Int, Int)]
+          .select($"term", $"cell", $"doc_id", $"tf", $"dl")
+          .as[(String, Int, Long, Int, Int)]
           .mapPartitions(rows => new ReencodeIterator(rows, avgdl, meta.buckets))
+      }
     merged
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -257,19 +271,21 @@ object Deletes {
     * produce identical blocks.
     */
   private final class ReencodeIterator(
-      rows: Iterator[(String, Long, Int, Int)],
+      rows: Iterator[(String, Int, Long, Int, Int)],
       avgdl: Double,
       buckets: Int) extends Iterator[graft.core.PostingBlock] {
     private val pending = new java.util.ArrayDeque[graft.core.PostingBlock](4)
     private var acc: Blocks.Accumulator = _
     private var curTerm: String = _
+    private var curCell: Int = -1
     private def fill(): Unit = {
       while (pending.isEmpty && rows.hasNext) {
-        val (t, doc, tf, dl) = rows.next()
-        if (acc == null || t != curTerm) {
+        val (t, cell, doc, tf, dl) = rows.next()
+        if (acc == null || t != curTerm || cell != curCell) {
           if (acc != null) acc.flush().foreach(pending.add)
-          acc = new Blocks.Accumulator(t, 0, avgdl, buckets)
+          acc = new Blocks.Accumulator(t, cell, avgdl, buckets)
           curTerm = t
+          curCell = cell
         }
         acc.add(doc, tf, dl).foreach(pending.add)
       }

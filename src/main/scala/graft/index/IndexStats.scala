@@ -46,7 +46,11 @@ object IndexStats {
         sum($"n_docs").as("postings"))
       .head()
     val bytes = graft.io.Fs.listDataFiles(paths.postings).map(_._2).sum
-    val tombstones = Deletes.read(spark, paths).length.toLong
+    // distributed count — never collect the (potentially huge) tombstone set
+    // to the driver just to measure it
+    val tombstones =
+      if (Deletes.hasDeletes(paths)) spark.read.parquet(paths.deletes).count()
+      else 0L
     Seq((stats.n_docs, stats.total_tokens, stats.avgdl, meta.buckets,
         meta.doc_id_space, meta.incremental, phys.getLong(0), phys.getLong(1),
         phys.getLong(2), bytes, tombstones))

@@ -126,8 +126,14 @@ object SearchJob {
         // index's own stored corpus metadata (corpus_sorted)
         val allowed = a.range.map { case (f, lo, hi) =>
           import org.apache.spark.sql.functions.{col, lit}
-          val corpus = graft.io.Catalog
-            .readNumbered(spark, graft.io.Catalog.IndexPaths(a.index)).toDF()
+          val paths = graft.io.Catalog.IndexPaths(a.index)
+          // --range reads the builder's stored corpus metadata; an index built
+          // through the library API (Indexer.buildFromDocs) has none — fail
+          // with a actionable message, not an opaque parquet path error
+          require(graft.io.Fs.exists(paths.corpusSorted),
+            s"--range needs ${paths.corpusSorted} (written by IndexBuildJob); " +
+              "this index has no stored corpus metadata")
+          val corpus = graft.io.Catalog.readNumbered(spark, paths).toDF()
           // bounds cast to the COLUMN's type (never the column to string:
           // lexicographic "10" < "2" would corrupt numeric ranges) — the
           // typed comparison pushes to the parquet scan
@@ -135,10 +141,13 @@ object SearchJob {
           corpus.filter(col(f) >= lit(lo).cast(dt) && col(f) <= lit(hi).cast(dt))
             .select(col("doc_id"))
         }
+        // analyze FIRST: terms that analyze to nothing (e.g. '!!!') must drop
+        // the clause (ES semantics), not crash Booleans.or's nonEmpty require —
+        // mirrors SearchEngine.topKMustNot's guard
+        val mustNotTerms = graft.core.QueryModel.analyzedTerms(a.mustNot)
         val excluded =
-          if (a.mustNot.isEmpty) None
-          else Some(Booleans.or(spark, a.index,
-            graft.core.QueryModel.analyzedTerms(a.mustNot)))
+          if (mustNotTerms.isEmpty) None
+          else Some(Booleans.or(spark, a.index, mustNotTerms))
         SearchEngine.topKWand(spark, a.index, terms, a.k,
           robustBounds = a.robustBounds, minMatch = a.minMatch, after = a.after,
           filters = a.filters, allowedDocs = allowed, excludedDocs = excluded)

@@ -212,6 +212,58 @@ class DeletesSpec extends AnyFunSuite {
     } finally { Fs.delete(rootA); Fs.delete(rootB) }
   }
 
+  test("join-path purge with multi-cell re-encode: disjoint-ascending runs, query-identical") {
+    import spark.implicits._
+    // ADVICE r4: a head term's whole posting stream must not re-encode in one
+    // task. Force the cell split with a tiny cell width and pin (a) the salted
+    // run invariant — per (term) runs have ascending, non-overlapping docID
+    // ranges with ascending run_id — and (b) score identity vs the broadcast
+    // path (logical content equality; byte layout differs by design here).
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rootA = s"/tmp/graft-purgecell-a-$tag"
+    val rootB = s"/tmp/graft-purgecell-b-$tag"
+    try {
+      for (root <- Seq(rootA, rootB)) {
+        Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+          buckets = IndexCache.Buckets, targetRun = IndexCache.TargetRun)
+        Deletes.deleteByQuery(spark, root, Seq("the"))
+      }
+      Deletes.purge(spark, rootA) // broadcast path
+      spark.conf.set("spark.graft.purge.broadcastMax", "1")
+      spark.conf.set("spark.graft.purge.cellDocs", "64") // force many cells
+      try Deletes.purge(spark, rootB)
+      finally {
+        spark.conf.unset("spark.graft.purge.broadcastMax")
+        spark.conf.unset("spark.graft.purge.cellDocs")
+      }
+      // (a) run invariant on the cell-keyed output
+      val byTerm = Catalog.readPostings(spark, IndexPaths(rootB)).collect()
+        .groupBy(_.term)
+      assert(byTerm.exists(_._2.map(_.run_id).distinct.length > 1),
+        "tiny cellDocs must actually produce multi-run terms")
+      byTerm.foreach { case (t, blocks) =>
+        val runs = blocks.groupBy(_.run_id).toSeq.sortBy(_._1)
+          .map { case (r, bs) => (r, bs.map(_.first_doc).min, bs.map(_.last_doc).max) }
+        runs.sliding(2).foreach {
+          case Seq((_, _, hiPrev), (_, loNext, _)) =>
+            assert(hiPrev < loNext, s"term $t: runs must be disjoint ascending")
+          case _ =>
+        }
+      }
+      // (b) decoded logical postings identical to the broadcast path
+      def decoded(root: String) =
+        Catalog.readPostings(spark, IndexPaths(root)).collect().toSeq
+          .flatMap { b =>
+            val d = graft.core.Blocks.decode(b)
+            d.docs.indices.map(i => (b.term, d.docs(i), d.tfs(i), d.dls(i)))
+          }.sorted
+      assert(decoded(rootA) == decoded(rootB),
+        "cell-keyed purge must keep the same logical postings")
+      assert(hits(SearchEngine.topKWandRounded(spark, rootA, q, 10)) ==
+        hits(SearchEngine.topKWandRounded(spark, rootB, q, 10)))
+    } finally { Fs.delete(rootA); Fs.delete(rootB) }
+  }
+
   test("purge: query-identical to an index freshly built over the live corpus") {
     import spark.implicits._
     val purged = IndexCache.purgedIndex(spark, sfDir, Seq(delTerm))
