@@ -23,27 +23,27 @@ import graft.model._
   * missing — so corrupting/altering any upstream output cascades re-runs
   * downstream, and an untouched prefix is skipped byte-for-byte.
   *
-  * Stages and their exchanges (ONE corpus-sized shuffle total — round 4 cut
-  * the former second one; raw TF rows never cross an exchange):
-  *   S1 docid_assign  range-exchange on (conv_id, turn_idx) → corpus_sorted,
-  *                    docid_map, corpus_stats, grid_bounds. Corpus stats
-  *                    (avgdl must precede encoding — block-max bounds need
-  *                    it) ride the assignment's own histogram pass, so no
-  *                    separate stats read exists. The exchanged corpus is
-  *                    persisted (DISK_ONLY) across the stage boundary: its
-  *                    partitions hold whole ascending docID ranges, which is
-  *                    exactly the co-location SPIMI needs.
-  *   S2 spimi         NO exchange on the cold path: per-cell in-memory SPIMI
-  *                    inversion runs directly on the persisted S1 partitions
-  *                    (cells are part-aligned docID ranges — Spimi
-  *                    .cellStarts — so each cell is whole and contiguous
-  *                    there). Skew-free by construction: cell key = doc
-  *                    range, never the term (the docID-range salting of the
-  *                    north star applied at the corpus exchange). Only a
-  *                    RESUMED build (corpus_sorted complete, postings not)
-  *                    re-exchanges, keyed by the content-determined part
-  *                    index from grid_bounds — identical cells, identical
-  *                    blocks (ResumeSpec pins this).
+  * Stages and their exchanges (ONE corpus-sized shuffle and ONE corpus
+  * materialization total — round 4 cut the former second exchange, round 5
+  * the former DISK_ONLY cache bridge; raw TF rows never cross an exchange):
+  *   S1 docid_assign  range-exchange on (conv_id, turn_idx) written STRAIGHT
+  *                    to corpus_sorted (one parquet file per exchange
+  *                    partition — whole ascending docID ranges per file),
+  *                    plus docid_map, corpus_stats, grid_bounds. Corpus
+  *                    stats (avgdl must precede encoding — block-max bounds
+  *                    need it) ride the assignment's own histogram pass, so
+  *                    no separate stats read exists.
+  *   S2 spimi         NO exchange: per-cell in-memory SPIMI inversion runs
+  *                    on a (doc_id, text)-pruned, split-disabled scan of
+  *                    corpus_sorted itself (cells are part-aligned docID
+  *                    ranges — Spimi.cellStarts — so each cell is whole
+  *                    inside one file). Skew-free by construction: cell key
+  *                    = doc range, never the term (the docID-range salting
+  *                    of the north star applied at the corpus exchange).
+  *                    Cold and RESUMED builds take the identical read, so
+  *                    resume is bit-identical by construction (ResumeSpec);
+  *                    only legacy pre-r4 indexes without stored geometry
+  *                    re-exchange.
   *   S3 finalize      the term-keyed merge: metadata-only groupBy over block
   *                    headers (payloads pruned) → dictionary, meta
   */
@@ -140,10 +140,11 @@ object IndexBuildJob {
     }
 
     // ---- S1: docID assignment --------------------------------------------
-    // The ONE corpus exchange of the build. The exchanged dataset is kept
-    // persisted so S2's inversion reads these partitions back instead of
-    // re-exchanging ~40× more bytes than the key columns that defined them.
-    var exchanged: Option[Dataset[NumberedTurn]] = None
+    // The ONE corpus exchange of the build. The exchanged dataset is written
+    // STRAIGHT to the durable corpus_sorted parquet — one file per exchange
+    // partition — which is the build's only corpus materialization (round 5:
+    // the former DISK_ONLY cache bridge doubled the bytes over the bus; S2
+    // now inverts the part-aligned parquet directly).
     val inputFp = Catalog.fingerprint(a.input)
     stage("docid_assign", inputFp, paths.corpusSorted) {
       val turns = a.format match {
@@ -155,9 +156,7 @@ object IndexBuildJob {
         case f => throw new IllegalArgumentException(s"unknown format $f")
       }
       val (numbered, stats, offsets) = DocIds.assignWithStatsOffsets(turns, parts)
-      val cached = numbered.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      cached.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
-      exchanged = Some(cached)
+      numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
       // docid_map from the just-written corpus: a column-pruned parquet scan
       // (3 narrow columns) instead of re-running the assignment pipeline
       Catalog.writeDocidMap(DocIds.toDocidMap(Catalog.readNumbered(spark, paths)), paths)
@@ -170,10 +169,11 @@ object IndexBuildJob {
     lazy val docIdSpace = Catalog.readCorpusStats(spark, paths).n_docs
 
     // ---- S2: SPIMI inversion + bucketed sink -------------------------------
-    // Cold path: invert the persisted S1 partitions in place (zero exchange).
-    // Resume path (S1 skipped): re-co-locate cells with one exchange keyed by
-    // the stored content-determined part geometry. Cells — hence blocks —
-    // are identical either way (part-aligned docID ranges from grid_bounds).
+    // Invert the part-aligned corpus_sorted parquet directly — zero corpus
+    // exchange, zero cache bridge, cold and resumed builds take the SAME
+    // read so they are trivially bit-identical. Only a legacy pre-r4 index
+    // (no stored grid geometry, so cell↔file alignment is unknown) pays the
+    // one re-co-location exchange.
     val s1Fp = Catalog.fingerprint(paths.corpusSorted)
     val s2Fp = s1Fp + "+" + Catalog.fingerprint(paths.corpusStats) +
       "+" + Catalog.fingerprint(paths.gridBounds)
@@ -182,10 +182,12 @@ object IndexBuildJob {
       // pre-round-4 index resumed past docid_assign: no grid_bounds exists
       // and docid_assign stays skipped (its input fingerprint is unchanged),
       // so synthesize a valid part-aligned geometry from the corpus size —
-      // any such geometry yields correct disjoint-ascending runs; only
-      // resume-vs-cold bit-identity (which needs the ORIGINAL bounds) is
-      // forfeited for this legacy case
-      if (!graft.io.Fs.exists(paths.gridBounds)) {
+      // any such geometry yields correct disjoint-ascending runs, but its
+      // cells need NOT match the written file boundaries, so this legacy
+      // case must re-co-locate with the exchange path (and forfeits
+      // resume-vs-cold bit-identity, which needs the ORIGINAL bounds)
+      val legacyGeometry = !graft.io.Fs.exists(paths.gridBounds)
+      if (legacyGeometry) {
         val n = stats.n_docs
         val even = Array.tabulate(parts + 1)(p =>
           math.min(n, p * ((n + parts - 1) / parts)))
@@ -193,16 +195,26 @@ object IndexBuildJob {
           Spimi.cellStarts(even, a.targetRun))
       }
       val (offsets, starts) = Catalog.readGridBounds(spark, paths)
-      val blocks = exchanged match {
-        case Some(cached) =>
-          Spimi.buildBlocksAligned(cached, starts, stats.avgdl, a.buckets)
-        case None =>
+      if (legacyGeometry) {
+        Catalog.writePostings(
           Spimi.buildBlocksAlignedExchange(Catalog.readNumbered(spark, paths),
-            offsets, starts, stats.avgdl, a.buckets, parts)
+            offsets, starts, stats.avgdl, a.buckets, parts), paths)
+      } else {
+        // never split a file: a row-group split would cut a SPIMI cell
+        // across two tasks (see Spimi.buildBlocksAlignedParquet). Scoped
+        // around the consuming action — scan partitions are planned at
+        // execution, not at read()
+        val maxFile = graft.io.Fs.listDataFiles(paths.corpusSorted)
+          .map(_._2).maxOption.getOrElse(1L)
+        val key = "spark.sql.files.maxPartitionBytes"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, (maxFile + 1L).toString)
+        try Catalog.writePostings(
+          Spimi.buildBlocksAlignedParquet(spark, paths.corpusSorted, starts,
+            stats.avgdl, a.buckets), paths)
+        finally spark.conf.set(key, prev)
       }
-      Catalog.writePostings(blocks, paths)
     }
-    exchanged.foreach(_.unpersist(blocking = false))
 
     // ---- S3: dictionary + meta — the term-keyed merge, metadata-only -------
     val s3Fp = Catalog.fingerprint(paths.postings)

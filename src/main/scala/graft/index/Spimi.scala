@@ -226,11 +226,61 @@ object Spimi {
       }
   }
 
-  /** Resume-path inversion from a written corpus_sorted: one exchange keyed
-    * by the (docID-derived, content-determined) part index co-locates each
-    * cell, then [[buildBlocksAligned]]'s iterator applies. Only runs when a
-    * build resumes past a completed docid_assign stage — the cold path feeds
-    * the persisted exchange straight through, exchange-free.
+  /** Inversion from the part-aligned corpus_sorted PARQUET itself — no
+    * corpus exchange AND no cache bridge (round 5: the DISK_ONLY persist
+    * that used to carry the S1→S2 boundary doubled the bytes over the bus;
+    * the durable write is now the only materialization). Correctness rests
+    * on two file-layout facts:
+    *
+    *  1. S1 writes one parquet file per exchange partition (plain
+    *     `df.write`, no maxRecordsPerFile), and each partition holds whole
+    *     `__part` groups sorted by (part, key) — so every SPIMI cell
+    *     (cells never cross part boundaries, [[cellStarts]]) is whole and
+    *     row-contiguous inside exactly one file;
+    *  2. the scan back must therefore never SPLIT a file (a row-group split
+    *     would cut a cell across two tasks → two half-runs colliding on
+    *     run_id/block_idx). The caller scopes
+    *     `spark.sql.files.maxPartitionBytes` ≥ the largest data file around
+    *     the consuming action ([[IndexBuildJob]]); whole files may still
+    *     PACK together into one task in any order — harmless, since cells
+    *     never span files and the iterator re-seats on any grid jump via
+    *     binary search.
+    *
+    * The scan prunes to (doc_id, text): the inversion reads ~the text
+    * column's compressed bytes, not the 8-column corpus.
+    */
+  def buildBlocksAlignedParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusSortedPath: String,
+      starts: Array[Long],
+      avgdl: Double,
+      buckets: Int): Dataset[PostingBlock] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(starts)
+    spark.read.parquet(corpusSortedPath)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        var cur = 0
+        val cells = it.map { case (doc, text) =>
+          val in = cur < cs.length && doc >= cs(cur) &&
+            (cur + 1 >= cs.length || doc < cs(cur + 1))
+          if (!in) {
+            val i = java.util.Arrays.binarySearch(cs, doc)
+            cur = if (i >= 0) i else -i - 2
+          }
+          (cur, doc, text)
+        }
+        new GridSpimiIterator(cells, avgdl, buckets)
+      }
+  }
+
+  /** Fallback inversion from a corpus_sorted whose file layout is NOT known
+    * to match grid_bounds (legacy pre-r4 indexes resumed without stored
+    * geometry): one exchange keyed by the (docID-derived,
+    * content-determined) part index co-locates each cell, then the aligned
+    * iterator applies.
     */
   def buildBlocksAlignedExchange(
       numbered: Dataset[graft.model.NumberedTurn],
