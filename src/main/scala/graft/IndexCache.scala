@@ -101,6 +101,40 @@ object IndexCache {
       })
     }
 
+  /** English-analyzed documents index (stopwords + Porter, ES `english`
+    * analyzer shape). Separate root: df/dl/avgdl all differ from the
+    * standard index, and meta pins analyzer="english" so the query paths
+    * re-analyze identically.
+    */
+  def englishIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#english", {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"/tmp/graft-index-$jvmTag/$key/documents_english"
+        Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+          buckets = Buckets, targetRun = TargetRun, analyzer = "english")
+      })
+    }
+
+  /** The driver's index-time synonym contraction (Lucene `merge,unify =>
+    * join` shape over fixture vocabulary): postings/df/stats reflect the
+    * merged group. Shared by the bm25_synonyms_indexed query and its oracle.
+    */
+  val IndexSynonyms: Map[String, String] = Map("merge" -> "join")
+
+  /** Documents index with [[IndexSynonyms]] baked in at analysis time
+    * (meta.synonyms → query terms canonicalize through the same map).
+    */
+  def synonymsIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#syn", {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"/tmp/graft-index-$jvmTag/$key/documents_syn"
+        Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+          buckets = Buckets, targetRun = TargetRun, synonyms = IndexSynonyms)
+      })
+    }
+
   private val lshBuilt = scala.collection.mutable.Map[String, String]()
 
   /** LSH bucket table over `embeddings`, computed once per sfDir and

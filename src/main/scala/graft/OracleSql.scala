@@ -65,6 +65,181 @@ object OracleSql {
        |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k OFFSET $offset""".stripMargin
   }
 
+  /** Index-time synonym contraction: every corpus/query token maps through
+    * the CASE expression before tf/df — exactly what baking the map into
+    * the analysis chain does (dl is unchanged: contraction preserves token
+    * count).
+    */
+  def bm25SynonymsIndexed(rawTerms: Seq[String], k: Int,
+      syn: Map[String, String]): String = {
+    val mapped = rawTerms.flatMap(graft.core.Analyzer.tokenize(_))
+      .map(t => syn.getOrElse(t, t)).distinct.sorted
+    val whens = syn.toSeq.sorted
+      .map { case (f, t) => s"WHEN '$f' THEN '$t'" }.mkString(" ")
+    val mapExpr = s"(CASE w $whens ELSE w END)"
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, $mapExpr AS term
+       |  FROM (SELECT doc_id, unnest(${toks("text")}) AS w FROM documents)
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(mapped)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf
+       |  JOIN dfs USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib
+       |GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Shared scaffold for function_score oracles: full-precision BM25 per
+    * matching doc (the bm25TopK CTEs minus the final cut), joined to the
+    * document metadata, with `finalExpr` (over `score` and `d.<field>`)
+    * ranked and rounded exactly like the engine.
+    */
+  private def functionScored(terms: Seq[String], k: Int,
+      finalExpr: String): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf
+       |  JOIN dfs USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |), scores AS (
+       |  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, round($finalExpr, 4) AS fscore_r4
+       |FROM scores s JOIN documents d USING (doc_id)
+       |ORDER BY $finalExpr DESC, s.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** ES field_value_factor (modifier applied AFTER factor, as ES). */
+  def bm25Fvf(terms: Seq[String], k: Int, field: String, factor: Double,
+      modifier: String, missing: Double, boostMode: String): String = {
+    val v = s"coalesce(CAST(d.$field AS DOUBLE), $missing) * $factor"
+    val fn = modifier match {
+      case "none" => v
+      case "log" => s"log10($v)"
+      case "log1p" => s"log10($v + 1.0)"
+      case "log2p" => s"log10($v + 2.0)"
+      case "ln" => s"ln($v)"
+      case "ln1p" => s"ln($v + 1.0)"
+      case "ln2p" => s"ln($v + 2.0)"
+      case "square" => s"($v) * ($v)"
+      case "sqrt" => s"sqrt($v)"
+      case "reciprocal" => s"1.0 / ($v)"
+      case m => throw new IllegalArgumentException(s"unknown modifier: $m")
+    }
+    val fin = boostMode match {
+      case "multiply" => s"s.score * ($fn)"
+      case "sum" => s"s.score + ($fn)"
+      case m => throw new IllegalArgumentException(s"unknown boost_mode: $m")
+    }
+    functionScored(terms, k, fin)
+  }
+
+  /** ES decay (gauss/exp/linear) on a numeric field; shape constants are
+    * computed in Scala and embedded at full double round-trip precision so
+    * both engines evaluate the identical arithmetic.
+    */
+  def bm25Decay(terms: Seq[String], k: Int, field: String, origin: Double,
+      scale: Double, offset: Double, decayAt: Double, fn: String,
+      boostMode: String): String = {
+    val x = s"greatest(0.0, abs(CAST(d.$field AS DOUBLE) - $origin) - $offset)"
+    val dExpr = fn match {
+      case "gauss" =>
+        val sigma2 = -scale * scale / (2.0 * math.log(decayAt))
+        s"exp(-(($x) * ($x)) / ${2.0 * sigma2})"
+      case "exp" => s"exp(${math.log(decayAt) / scale} * ($x))"
+      case "linear" =>
+        val sc = scale / (1.0 - decayAt)
+        s"greatest(0.0, ($sc - ($x)) / $sc)"
+      case f => throw new IllegalArgumentException(s"unknown decay fn: $f")
+    }
+    val fin = boostMode match {
+      case "multiply" => s"s.score * ($dExpr)"
+      case "sum" => s"s.score + ($dExpr)"
+      case m => throw new IllegalArgumentException(s"unknown boost_mode: $m")
+    }
+    functionScored(terms, k, fin)
+  }
+
+  /** BM25 over the `english` analysis chain (stopwords + Porter stemming).
+    * DuckDB has no Porter, so the analysis is table-driven: `vocab` is the
+    * engine-recorded (word, is_stop, stem) triple for EVERY distinct raw
+    * token in the corpus (the token_counts_bpe generated-oracle pattern —
+    * recorded while the query runs, read by oracleSql afterwards). The SQL
+    * then mirrors bm25TopK CTE-for-CTE with term = stem and dl = post-stop
+    * token count (which is exactly the dl the english index stores).
+    */
+  def bm25English(rawTerms: Seq[String], k: Int,
+      vocab: Seq[(String, Boolean, String)]): String = {
+    val qTerms = rawTerms.flatMap(graft.core.Analyzer.analyze(_, "english"))
+      .distinct.sorted
+    def esc(s: String) = s.replace("'", "''")
+    val values = vocab
+      .map { case (w, stop, st) => s"('${esc(w)}', $stop, '${esc(st)}')" }
+      .mkString(", ")
+    s"""WITH stems AS (
+       |  SELECT * FROM (VALUES $values) AS v(word, is_stop, stem)
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS word FROM documents
+       |), an AS (
+       |  SELECT tok.doc_id, stems.stem AS term
+       |  FROM tok JOIN stems ON tok.word = stems.word
+       |  WHERE NOT stems.is_stop
+       |), dls AS (
+       |  SELECT d.doc_id, coalesce(a.dl, 0) AS dl FROM documents d
+       |  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM an GROUP BY doc_id) a
+       |    USING (doc_id)
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM an
+       |  WHERE term IN ${inList(qTerms)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf
+       |  JOIN dfs USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib
+       |GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Top-k hydrated with document metadata (the decode + hydration join,
     * SURVEY.md §2 row 18).
     */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
 import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
-import graft.search.{Aggregations, Booleans, BruteForce, MoreLikeThis, Percolator, SearchEngine, TermQueries}
+import graft.search.{Aggregations, Booleans, BruteForce, FunctionScore, MoreLikeThis, Percolator, SearchEngine, TermQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,49 @@ object SparkEntry {
       IndexCache.keywordField(s, dir, "source")
       SearchEngine.topKFiltered(s, idx.paths.root,
         Seq("join", "window", "vector"), K, Seq("source:src3"))
+    }),
+    // ES function_score/field_value_factor: bm25 * log10(1 + 0.01*n_chars)
+    // over EVERY matching doc (pruned-exhaustive + metadata join)
+    "bm25_fvf" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      FunctionScore.fieldValueFactor(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K,
+        field = "n_chars", factor = 0.01, modifier = "log1p",
+        missing = 1.0, boostMode = "multiply")
+    }),
+    // ES function_score gauss decay on a numeric field (dates decay the
+    // same way on epoch values): curve through 0.5 at |n_chars-280|=50
+    "bm25_decay" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      FunctionScore.decay(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K,
+        field = "n_chars", origin = 280.0, scale = 50.0, offset = 0.0,
+        decayAt = 0.5, fn = "gauss", boostMode = "multiply")
+    }),
+    // ES `english` analyzer: stopword removal + Porter stemming at BOTH
+    // index and query time (meta-pinned). Surface-form query terms
+    // ("joins", "windows") conflate onto the stemmed postings. The oracle
+    // is generated from the recorded corpus vocabulary -> (is_stop, stem)
+    // table (DuckDB has no Porter; the token_counts_bpe pattern).
+    "bm25_english" -> ((s, dir) => {
+      val idx = IndexCache.englishIndex(s, dir)
+      import s.implicits._
+      val vocab = graft.io.Catalog.readDocuments(s, dir)
+        .flatMap(d => graft.core.Analyzer.tokenize(d.text))
+        .distinct().collect().sorted
+      lastEnglishVocab = Some(vocab.toSeq.map(w =>
+        (w, graft.core.En.Stopwords.contains(w), graft.core.En.stem(w))))
+      SearchEngine.topKWandRounded(s, idx.paths.root,
+        Seq("joins", "windows", "vectors"), K)
+    }),
+    // INDEX-TIME synonyms (Lucene contraction `merge => join` during
+    // analysis): df/cf/stats reflect the merged group — semantics
+    // query-time SynonymQuery cannot express (it blends df per query; this
+    // bakes union df into the index). Query terms canonicalize through the
+    // same stored map (meta.synonyms), so querying 'merge' ≡ 'join'.
+    "bm25_synonyms_indexed" -> ((s, dir) => {
+      val idx = IndexCache.synonymsIndex(s, dir)
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("merge", "window"), K)
     }),
     // query-time synonyms (Lucene SynonymQuery): {join, merge} as one
     // pseudo-term (max df, summed tf) + plain 'window'
@@ -432,6 +475,20 @@ object SparkEntry {
         .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
         .orderBy($"event_type")
     }),
+    // ES `cardinality` aggregation: approximate-by-contract (HLL++). One
+    // pass, map-side partial sketches, no exact-distinct shuffle — the
+    // 100 TB shape. Rows-only by design: sketch estimates are not
+    // bit-reproducible across engines, so no DuckDB oracle; the error
+    // contract (rsd ≤ 0.05 here) is pinned vs exact counts in
+    // CardinalitySpec at two corpus scales.
+    "cardinality_users" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.readTable(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", rsd = 0.05).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    }),
     "vector_norms" -> ((s, dir) => {
       import s.implicits._
       Catalog.readTable(s, dir, "embeddings")
@@ -463,8 +520,16 @@ object SparkEntry {
     "bm25_filtered_range" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some("n_chars BETWEEN 250 AND 330")),
     "bm25_fuzzy" -> OracleSql.bm25Fuzzy("joln", K, maxDist = 2),
+    "bm25_fvf" -> OracleSql.bm25Fvf(Seq("join", "window", "vector"), K,
+      field = "n_chars", factor = 0.01, modifier = "log1p", missing = 1.0,
+      boostMode = "multiply"),
+    "bm25_decay" -> OracleSql.bm25Decay(Seq("join", "window", "vector"), K,
+      field = "n_chars", origin = 280.0, scale = 50.0, offset = 0.0,
+      decayAt = 0.5, fn = "gauss", boostMode = "multiply"),
     "sort_by_field" -> OracleSql.sortByField("join", "n_chars", K),
     "bm25_synonyms" -> OracleSql.synonymTopK(Seq(Seq("join", "merge"), Seq("window")), K),
+    "bm25_synonyms_indexed" -> OracleSql.bm25SynonymsIndexed(
+      Seq("merge", "window"), K, IndexCache.IndexSynonyms),
     "bm25_must_not" -> OracleSql.bm25TopK(Seq("join", "window", "vector"), K,
       docFilter = Some(
         s"len(list_filter(${OracleSql.toks("text")}, x -> x = 'stream')) = 0")),
@@ -548,5 +613,12 @@ object SparkEntry {
     graft.operators.Curation.lastBpeOracle.toSeq.flatMap { wc =>
       Seq("token_counts_bpe" -> OracleSql.tokenCountsBpe(wc),
         "pack_sequences_bpe" -> OracleSql.packSequencesBpe(2048L, wc))
-    }
+    } ++
+    lastEnglishVocab.map(v =>
+      "bm25_english" -> OracleSql.bm25English(Seq("joins", "windows", "vectors"), K, v))
+
+  /** Recorded while bm25_english runs (Verify reads oracleSql afterwards):
+    * every distinct raw corpus token with its stopword flag and Porter stem.
+    */
+  @volatile private var lastEnglishVocab: Option[Seq[(String, Boolean, String)]] = None
 }

@@ -85,6 +85,41 @@ object Analyzer {
     out.toArray
   }
 
+  /** Named-analyzer dispatch (ES: every index pins its analyzer; query-time
+    * analysis MUST match index-time or scores are meaningless — the name is
+    * recorded in IndexMeta and threaded back through the query paths).
+    *  - "standard": the pinned [[tokenize]];
+    *  - "english": [[tokenize]] then Lucene's classic stopword removal and
+    *    Porter stemming ([[En.analyze]]).
+    */
+  def analyze(text: String, analyzer: String): Array[String] = analyzer match {
+    case "standard" => tokenize(text)
+    case "english" => En.analyze(tokenize(text))
+    case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+
+  /** [[analyze]] + an index-time synonym CONTRACTION map (Lucene
+    * `a,b => a` form) applied after the base chain: every token is replaced
+    * by its canonical group member, so postings/df/cf/stats all reflect the
+    * merged group — the half of the ES synonym story query-time
+    * SynonymQuery cannot express (it blends df at query time; this bakes
+    * the union df into the index). Token count is preserved (dl unchanged).
+    */
+  def analyze(text: String, analyzer: String,
+      synonyms: Map[String, String]): Array[String] = {
+    val toks = analyze(text, analyzer)
+    if (synonyms.isEmpty) toks
+    else {
+      var i = 0
+      while (i < toks.length) {
+        val c = synonyms.getOrElse(toks(i), null)
+        if (c != null) toks(i) = c
+        i += 1
+      }
+      toks
+    }
+  }
+
   /** Catalyst Column form: array of non-empty tokens. Codegen'd built-ins
     * only (split/lower/filter) — no UDF, so Catalyst can still push filters
     * around it and the expression stays inside WholeStageCodegen.

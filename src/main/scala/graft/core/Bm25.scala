@@ -64,9 +64,17 @@ object QueryModel {
     else (raw, 1.0)
   }
 
-  /** Raw query strings (boost suffixes stripped) → analyzed unique terms. */
-  def analyzedTerms(rawTerms: Seq[String]): Seq[String] =
-    rawTerms.map(parseBoost(_)._1).flatMap(Analyzer.tokenize(_)).distinct.sorted
+  /** Raw query strings (boost suffixes stripped) → analyzed unique terms.
+    * `analyzer` must be the INDEX's analyzer (IndexMeta) — querying an
+    * english-analyzed index with standard-analyzed terms would miss every
+    * stemmed posting.
+    */
+  def analyzedTerms(rawTerms: Seq[String],
+      analyzer: String = "standard",
+      synonyms: Map[String, String] = Map.empty): Seq[String] =
+    rawTerms.map(parseBoost(_)._1)
+      .flatMap(Analyzer.analyze(_, analyzer, synonyms))
+      .distinct.sorted
 
   /** Analyze raw query strings into unique sorted terms with idfs looked up
     * from `dfByTerm` (absent terms get df=0 → they still contribute idf but
@@ -77,9 +85,10 @@ object QueryModel {
     * term boosted more than once keeps the max weight.
     */
   def build(rawTerms: Seq[String], nDocs: Long, dfByTerm: Map[String, Long],
-      avgdl: Double, k: Int): QueryModel = {
+      avgdl: Double, k: Int, analyzer: String = "standard",
+      synonyms: Map[String, String] = Map.empty): QueryModel = {
     val weighted = rawTerms.map(parseBoost).flatMap { case (raw, w) =>
-      Analyzer.tokenize(raw).map(_ -> w)
+      Analyzer.analyze(raw, analyzer, synonyms).map(_ -> w)
     }
     val wByTerm = weighted.groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).max }
     val uniq = wByTerm.keys.toArray.sorted

@@ -133,12 +133,14 @@ object DocIds {
     * second corpus exchange (round-4: the docid range exchange and the SPIMI
     * grid exchange collapse into ONE corpus-sized shuffle per build).
     */
-  def assignWithStatsOffsets(turns: Dataset[Turn], numPartitions: Int)
+  def assignWithStatsOffsets(turns: Dataset[Turn], numPartitions: Int,
+      analyzer: String = "standard")
       : (Dataset[NumberedTurn], CorpusStats, Array[Long]) = {
     val spark = turns.sparkSession
     import spark.implicits._
     val (df, stats, offsets) =
-      denseIdsCore(turns.toDF(), Seq("conv_id", "turn_idx"), numPartitions, Some("text"))
+      denseIdsCore(turns.toDF(), Seq("conv_id", "turn_idx"), numPartitions,
+        Some("text"), analyzer)
     (df.withColumnRenamed("rid", "doc_id").as[NumberedTurn], stats.get, offsets)
   }
 
@@ -157,7 +159,8 @@ object DocIds {
   }
 
   private def denseIdsCore(df: DataFrame, sortCols: Seq[String],
-      numPartitions: Int, textCol: Option[String])
+      numPartitions: Int, textCol: Option[String],
+      analyzer: String = "standard")
       : (DataFrame, Option[CorpusStats], Array[Long]) = {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -189,7 +192,7 @@ object DocIds {
               var a = agg.get(p)
               if (a == null) { a = new Array[Long](2); agg.put(p, a) }
               a(0) += 1
-              a(1) += graft.core.Analyzer.tokenize(t).length
+              a(1) += graft.core.Analyzer.analyze(t, analyzer).length
             }
             scala.jdk.CollectionConverters.IteratorHasAsScala(agg.entrySet().iterator())
               .asScala.map(e => (e.getKey, e.getValue()(0), e.getValue()(1)))

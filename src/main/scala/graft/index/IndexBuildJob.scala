@@ -58,7 +58,8 @@ object IndexBuildJob {
       partitions: Option[Int] = None,
       resume: Boolean = false,
       compact: Boolean = false,
-      keywordFields: Seq[String] = Nil)
+      keywordFields: Seq[String] = Nil,
+      analyzer: String = "standard")
 
   def parse(argv: Array[String]): Args = {
     var a = Args()
@@ -71,6 +72,7 @@ object IndexBuildJob {
         case "--buckets" => a = a.copy(buckets = argv(i + 1).toInt); i += 2
         case "--target-run" => a = a.copy(targetRun = argv(i + 1).toLong); i += 2
         case "--partitions" => a = a.copy(partitions = Some(argv(i + 1).toInt)); i += 2
+        case "--analyzer" => a = a.copy(analyzer = argv(i + 1)); i += 2
         case "--resume" => a = a.copy(resume = true); i += 1
         case "--compact" => a = a.copy(compact = true); i += 1
         // repeatable: index a metadata column as `field:value` filter
@@ -155,7 +157,8 @@ object IndexBuildJob {
         case "transcript" => graft.io.TranscriptJsonl.readTurns(spark, a.input)
         case f => throw new IllegalArgumentException(s"unknown format $f")
       }
-      val (numbered, stats, offsets) = DocIds.assignWithStatsOffsets(turns, parts)
+      val (numbered, stats, offsets) =
+        DocIds.assignWithStatsOffsets(turns, parts, a.analyzer)
       numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
       // docid_map from the just-written corpus: a column-pruned parquet scan
       // (3 narrow columns) instead of re-running the assignment pipeline
@@ -198,7 +201,7 @@ object IndexBuildJob {
       if (legacyGeometry) {
         Catalog.writePostings(
           Spimi.buildBlocksAlignedExchange(Catalog.readNumbered(spark, paths),
-            offsets, starts, stats.avgdl, a.buckets, parts), paths)
+            offsets, starts, stats.avgdl, a.buckets, parts, a.analyzer), paths)
       } else {
         // never split a file: a row-group split would cut a SPIMI cell
         // across two tasks (see Spimi.buildBlocksAlignedParquet). Scoped
@@ -211,7 +214,7 @@ object IndexBuildJob {
         spark.conf.set(key, (maxFile + 1L).toString)
         try Catalog.writePostings(
           Spimi.buildBlocksAlignedParquet(spark, paths.corpusSorted, starts,
-            stats.avgdl, a.buckets), paths)
+            stats.avgdl, a.buckets, a.analyzer), paths)
         finally spark.conf.set(key, prev)
       }
     }
@@ -229,7 +232,7 @@ object IndexBuildJob {
           max($"max_tf_norm").as("max_tf_norm"))
         .select($"term", $"df", $"cf", $"max_tf_norm").as[DictEntry]
         .write.mode(SaveMode.Overwrite).parquet(paths.dictionary)
-      Seq(IndexMeta(a.buckets, a.targetRun, docIdSpace))
+      Seq(IndexMeta(a.buckets, a.targetRun, docIdSpace, analyzer = a.analyzer))
         .toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
     }
 

@@ -21,7 +21,8 @@ import graft.model._
   * and skipped instead of appended twice. −1 = batch-built index.
   */
 final case class IndexMeta(buckets: Int, target_run: Long, doc_id_space: Long,
-    incremental: Boolean = false, last_batch_id: Long = -1L)
+    incremental: Boolean = false, last_batch_id: Long = -1L,
+    analyzer: String = "standard", synonyms: Boolean = false)
 
 /** Index construction orchestration (SURVEY.md §3.1, stages S2–S4 over an
   * already doc-keyed corpus; DocIds.assign is stage S1 for transcript input).
@@ -44,7 +45,9 @@ object Indexer {
       buckets: Int = 16,
       targetRun: Long = 1 << 20,
       numPartitionsOpt: Option[Int] = None,
-      statsOpt: Option[CorpusStats] = None): BuildResult = {
+      statsOpt: Option[CorpusStats] = None,
+      analyzer: String = "standard",
+      synonyms: Map[String, String] = Map.empty): BuildResult = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numPartitions = numPartitionsOpt.getOrElse(spark.sessionState.conf.numShufflePartitions)
@@ -58,7 +61,7 @@ object Indexer {
     val (stats, docIdSpace) = statsOpt match {
       case Some(st) => (st, st.n_docs)
       case None =>
-        val dls = TermFreqs.docLengths(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        val dls = TermFreqs.docLengths(docs, analyzer).persist(StorageLevel.MEMORY_AND_DISK)
         val st = TermFreqs.corpusStats(dls)
         val ds = {
           val r = dls.toDF("doc_id", "dl").agg(max($"doc_id")).head()
@@ -74,11 +77,14 @@ object Indexer {
     // per doc per term worst case), floored at 2× parallelism for balance.
     val grids = math.max(numPartitions * 2,
       math.min(1 << 20, (docIdSpace / math.max(1L, targetRun)).toInt + 1))
-    val blocks = Spimi.buildBlocksGrid(docs, stats.avgdl, buckets, grids, docIdSpace, numPartitions)
+    val blocks = Spimi.buildBlocksGrid(docs, stats.avgdl, buckets, grids,
+      docIdSpace, numPartitions, analyzer, synonyms)
     Catalog.writePostings(blocks, paths)
 
     // S4: the term-keyed merge (dictionary) + stats + meta
-    finalizeIndex(spark, paths, stats, buckets, targetRun, docIdSpace)
+    if (synonyms.nonEmpty) Catalog.writeSynonyms(spark, paths, synonyms)
+    finalizeIndex(spark, paths, stats, buckets, targetRun, docIdSpace, analyzer,
+      synonyms.nonEmpty)
   }
 
   /** Shared finalize: dictionary from block headers (metadata-only
@@ -88,7 +94,8 @@ object Indexer {
     */
   private def finalizeIndex(spark: SparkSession, paths: IndexPaths,
       stats: CorpusStats, buckets: Int, targetRun: Long,
-      docIdSpace: Long): BuildResult = {
+      docIdSpace: Long, analyzer: String = "standard",
+      synonyms: Boolean = false): BuildResult = {
     import spark.implicits._
     val dict = spark.read.parquet(paths.postings)
       .groupBy($"term")
@@ -98,7 +105,8 @@ object Indexer {
       .as[DictEntry]
     Catalog.writeDictionary(dict, paths)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(paths.corpusStats)
-    val meta = IndexMeta(buckets, targetRun, docIdSpace)
+    val meta = IndexMeta(buckets, targetRun, docIdSpace, analyzer = analyzer,
+      synonyms = synonyms)
     Seq(meta).toDS().write.mode(SaveMode.Overwrite).parquet(paths.meta)
     BuildResult(paths, stats, meta)
   }
@@ -133,11 +141,16 @@ object Indexer {
   def readMeta(spark: SparkSession, root: String): IndexMeta = {
     import spark.implicits._
     val df = spark.read.parquet(IndexPaths(root).meta)
-    // pre-r3 meta parquet has no last_batch_id column — default it
-    val full =
-      if (df.columns.contains("last_batch_id")) df
-      else df.withColumn("last_batch_id", lit(-1L))
+    // older meta parquet lacks later columns — default them (pre-r3:
+    // last_batch_id; pre-r5: analyzer)
+    var full = df
+    if (!full.columns.contains("last_batch_id"))
+      full = full.withColumn("last_batch_id", lit(-1L))
+    if (!full.columns.contains("analyzer"))
+      full = full.withColumn("analyzer", lit("standard"))
+    if (!full.columns.contains("synonyms"))
+      full = full.withColumn("synonyms", lit(false))
     full.select($"buckets", $"target_run", $"doc_id_space", $"incremental",
-      $"last_batch_id").as[IndexMeta].head()
+      $"last_batch_id", $"analyzer", $"synonyms").as[IndexMeta].head()
   }
 }

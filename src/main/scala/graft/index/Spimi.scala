@@ -75,7 +75,8 @@ object Spimi {
       salted: Dataset[SaltedTf],
       avgdl: Double,
       buckets: Int,
-      numPartitions: Int): Dataset[PostingBlock] = {
+      numPartitions: Int,
+      analyzer: String = "standard"): Dataset[PostingBlock] = {
     import salted.sparkSession.implicits._
     salted
       .repartition(numPartitions, $"term", $"salt")
@@ -145,7 +146,9 @@ object Spimi {
       buckets: Int,
       grids: Int,
       docIdSpace: Long,
-      numPartitions: Int): Dataset[PostingBlock] = {
+      numPartitions: Int,
+      analyzer: String = "standard",
+      synonyms: Map[String, String] = Map.empty): Dataset[PostingBlock] = {
     import docs.sparkSession.implicits._
     val width = math.max(1L, (docIdSpace + grids - 1) / grids)
     docs.toDF()
@@ -154,7 +157,7 @@ object Spimi {
       .sortWithinPartitions($"grid", $"doc_id")
       .select($"grid", $"doc_id", $"text")
       .as[(Int, Long, String)]
-      .mapPartitions(rows => new GridSpimiIterator(rows, avgdl, buckets))
+      .mapPartitions(rows => new GridSpimiIterator(rows, avgdl, buckets, analyzer, synonyms))
   }
 
   /** Part-aligned SPIMI cell boundaries: each docID-assignment part
@@ -197,7 +200,8 @@ object Spimi {
       numbered: Dataset[graft.model.NumberedTurn],
       starts: Array[Long],
       avgdl: Double,
-      buckets: Int): Dataset[PostingBlock] = {
+      buckets: Int,
+      analyzer: String = "standard"): Dataset[PostingBlock] = {
     import numbered.sparkSession.implicits._
     val bc = numbered.sparkSession.sparkContext.broadcast(starts)
     // prune to (doc_id, text) BEFORE the typed boundary: the inversion never
@@ -222,7 +226,7 @@ object Spimi {
           }
           (cur, doc, text)
         }
-        new GridSpimiIterator(cells, avgdl, buckets)
+        new GridSpimiIterator(cells, avgdl, buckets, analyzer)
       }
   }
 
@@ -254,7 +258,8 @@ object Spimi {
       corpusSortedPath: String,
       starts: Array[Long],
       avgdl: Double,
-      buckets: Int): Dataset[PostingBlock] = {
+      buckets: Int,
+      analyzer: String = "standard"): Dataset[PostingBlock] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(starts)
     spark.read.parquet(corpusSortedPath)
@@ -272,7 +277,7 @@ object Spimi {
           }
           (cur, doc, text)
         }
-        new GridSpimiIterator(cells, avgdl, buckets)
+        new GridSpimiIterator(cells, avgdl, buckets, analyzer)
       }
   }
 
@@ -288,7 +293,8 @@ object Spimi {
       starts: Array[Long],
       avgdl: Double,
       buckets: Int,
-      numPartitions: Int): Dataset[PostingBlock] = {
+      numPartitions: Int,
+      analyzer: String = "standard"): Dataset[PostingBlock] = {
     import numbered.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, when}
     // part index as a short codegen-safe chain (P terms, P = partitions);
@@ -315,7 +321,7 @@ object Spimi {
           }
           (cur, doc, text)
         }
-        new GridSpimiIterator(cells, avgdl, buckets)
+        new GridSpimiIterator(cells, avgdl, buckets, analyzer)
       }
   }
 
@@ -340,7 +346,9 @@ object Spimi {
   private final class GridSpimiIterator(
       rows: Iterator[(Int, Long, String)],
       avgdl: Double,
-      buckets: Int) extends Iterator[PostingBlock] {
+      buckets: Int,
+      analyzer: String = "standard",
+      synonyms: Map[String, String] = Map.empty) extends Iterator[PostingBlock] {
 
     private val pending = new java.util.ArrayDeque[PostingBlock]()
     private val inv = new java.util.HashMap[String, PostingBuf]()
@@ -363,7 +371,7 @@ object Spimi {
     }
 
     private def ingest(doc: Long, text: String): Unit = {
-      val toks = graft.core.Analyzer.tokenize(text)
+      val toks = graft.core.Analyzer.analyze(text, analyzer, synonyms)
       if (toks.nonEmpty) {
         java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
         val dl = toks.length

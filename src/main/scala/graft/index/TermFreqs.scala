@@ -47,9 +47,10 @@ object TermFreqs {
   /** (doc_id, dl) for every doc — including empty ones (dl = 0), which must
     * still count toward N and avgdl to match the oracle's semantics.
     */
-  def docLengths(docs: Dataset[Doc]): Dataset[(Long, Int)] = {
+  def docLengths(docs: Dataset[Doc],
+      analyzer: String = "standard"): Dataset[(Long, Int)] = {
     import docs.sparkSession.implicits._
-    docs.map(d => (d.doc_id, Analyzer.tokenize(d.text).length))
+    docs.map(d => (d.doc_id, Analyzer.analyze(d.text, analyzer).length))
   }
 
   /** Whole-corpus stats — partial+final hash aggregation, 1-row result. */

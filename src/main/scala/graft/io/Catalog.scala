@@ -49,6 +49,25 @@ object Catalog {
     // the resume path re-derives identical cells (hence identical blocks)
     // from it without re-running the assignment passes
     def gridBounds: String = s"$root/grid_bounds"
+    // index-time synonym map (token -> canonical), written once at build;
+    // query-time analysis MUST apply the same map (meta.synonyms flags it)
+    def synonyms: String = s"$root/synonyms"
+  }
+
+  def writeSynonyms(spark: SparkSession, paths: IndexPaths,
+      syn: Map[String, String]): Unit = {
+    import spark.implicits._
+    syn.toSeq.sorted.toDF("token", "canonical")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(paths.synonyms)
+  }
+
+  def readSynonyms(spark: SparkSession, paths: IndexPaths): Map[String, String] = {
+    import spark.implicits._
+    if (!Fs.exists(paths.synonyms)) Map.empty
+    else spark.read.parquet(paths.synonyms)
+      .select($"token", $"canonical").as[(String, String)]
+      .collect().toMap
   }
 
   /** S1's docID-partition/cell geometry: `kind` ∈ {part, cell}, ascending

@@ -19,16 +19,39 @@ object BruteForce {
   def topK(docs: DataFrame, rawTerms: Seq[String], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val terms = rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted
+    scoreToks(docs.select($"doc_id", Analyzer.tokensCol($"text").as("toks")),
+      rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted, k)
+  }
 
-    val toksCol: Column = Analyzer.tokensCol($"text")
-    val dls = docs.select($"doc_id", size(toksCol).as("dl"))
+  /** Analyzer-aware twin: tokens via the named analysis chain (a typed map —
+    * stemming has no Column form), then the identical scoring pipeline.
+    * Shadow/oracle machinery, not a production path.
+    */
+  def topKAnalyzed(docs: DataFrame, rawTerms: Seq[String], k: Int,
+      analyzer: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) => (id, Analyzer.analyze(t, analyzer)) }
+      .toDF("doc_id", "toks")
+    scoreToks(toks,
+      rawTerms.flatMap(Analyzer.analyze(_, analyzer)).distinct.sorted, k)
+  }
+
+  /** Shared scoring pipeline over a (doc_id, toks) frame — mirrors the
+    * DuckDB oracle CTE-for-CTE.
+    */
+  private def scoreToks(toksDf: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val spark = toksDf.sparkSession
+    import spark.implicits._
+    val docs = toksDf
+    val dls = docs.select($"doc_id", size($"toks").as("dl"))
     val stats = dls.agg(
       count(lit(1)).as("n_docs"),
       avg($"dl").as("avgdl"))
 
     val tf = docs
-      .select($"doc_id", explode(toksCol).as("term"))
+      .select($"doc_id", explode($"toks").as("term"))
       .filter($"term".isin(terms: _*))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))

@@ -1,0 +1,107 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Catalog
+
+/** ES `function_score` — deterministic per-document score modifiers composed
+  * with the main BM25 query (the two most-used functions):
+  *
+  *  - [[fieldValueFactor]]: `field_value_factor` — final =
+  *    bm25 ⊙ modifier(factor · doc[field]), ES's exact application order
+  *    (factor first, then the modifier fn; `missing` substitutes for null).
+  *    ES's `log` family is base-10 (Lucene's LogFunction), `ln` natural.
+  *  - [[decay]]: `gauss` / `exp` / `linear` decay on a numeric field —
+  *    dates decay with the same arithmetic on epoch values, so a `ts`
+  *    column needs only a cast upstream. Shape parameters follow the ES
+  *    definition: the curve passes through `decay` at distance `scale`
+  *    from `origin`, distances under `offset` don't decay at all.
+  *      gauss:  exp(−max(0,|v−origin|−offset)² / (2σ²)),
+  *              σ² = −scale² / (2·ln decay)
+  *      exp:    exp(λ·max(0,|v−origin|−offset)), λ = ln(decay)/scale
+  *      linear: max(0, (s − max(0,|v−origin|−offset)) / s),
+  *              s = scale / (1 − decay)
+  *
+  * Plan and scale: ES applies function_score to EVERY matching doc (unlike
+  * `rescore`, which re-ranks a window), so the exact plan is the
+  * exhaustive-pruned family — [[SearchEngine.scoreAllDocs]] over the query
+  * terms' postings only (bucket pruning + term pushdown, never a corpus
+  * scan), then a doc-keyed join against the 2-column pruned metadata scan
+  * (uniform key, map-side-partial aggregates upstream), function applied as
+  * a codegen'd Column, TakeOrdered top-k. A rank-safe WAND variant would
+  * need a corpus-wide upper bound on the modifier folded into the block-max
+  * bounds; the pruned-exhaustive shape is exact without it and matches the
+  * synonym/cross_fields family's cost argument.
+  */
+object FunctionScore {
+
+  /** ES modifier functions (field_value_factor.modifier). */
+  private def applyModifier(v: Column, modifier: String): Column = modifier match {
+    case "none" => v
+    case "log" => log10(v)
+    case "log1p" => log10(v + lit(1.0))
+    case "log2p" => log10(v + lit(2.0))
+    case "ln" => log(v)
+    case "ln1p" => log(v + lit(1.0))
+    case "ln2p" => log(v + lit(2.0))
+    case "square" => v * v
+    case "sqrt" => sqrt(v)
+    case "reciprocal" => lit(1.0) / v
+    case m => throw new IllegalArgumentException(s"unknown modifier: $m")
+  }
+
+  private def combine(score: Column, fn: Column, boostMode: String): Column =
+    boostMode match {
+      case "multiply" => score * fn
+      case "sum" => score + fn
+      case m => throw new IllegalArgumentException(s"unknown boost_mode: $m")
+    }
+
+  def fieldValueFactor(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], k: Int, field: String = "n_chars",
+      factor: Double = 1.0, modifier: String = "log1p",
+      missing: Double = 1.0, boostMode: String = "multiply"): DataFrame = {
+    import spark.implicits._
+    val scored = SearchEngine.scoreAllDocs(spark, root, rawTerms)
+    val meta = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", col(field))
+    val fv = applyModifier(
+      coalesce(col(field).cast("double"), lit(missing)) * lit(factor), modifier)
+    scored.join(meta, "doc_id")
+      .select($"doc_id", combine($"score", fv, boostMode).as("fscore"))
+      .orderBy($"fscore".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
+  }
+
+  def decay(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], k: Int, field: String, origin: Double,
+      scale: Double, offset: Double = 0.0, decayAt: Double = 0.5,
+      fn: String = "gauss", boostMode: String = "multiply"): DataFrame = {
+    import spark.implicits._
+    require(scale > 0.0 && decayAt > 0.0 && decayAt < 1.0,
+      "scale > 0 and decay in (0,1), as ES")
+    val scored = SearchEngine.scoreAllDocs(spark, root, rawTerms)
+    val meta = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", col(field))
+    val x = greatest(lit(0.0),
+      abs(col(field).cast("double") - lit(origin)) - lit(offset))
+    val d = fn match {
+      case "gauss" =>
+        val sigma2 = -scale * scale / (2.0 * math.log(decayAt))
+        exp(-(x * x) / lit(2.0 * sigma2))
+      case "exp" =>
+        exp(lit(math.log(decayAt) / scale) * x)
+      case "linear" =>
+        val s = scale / (1.0 - decayAt)
+        greatest(lit(0.0), (lit(s) - x) / lit(s))
+      case f => throw new IllegalArgumentException(s"unknown decay fn: $f")
+    }
+    scored.join(meta, "doc_id")
+      .select($"doc_id", combine($"score", d, boostMode).as("fscore"))
+      .orderBy($"fscore".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
+  }
+}

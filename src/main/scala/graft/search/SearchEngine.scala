@@ -25,11 +25,19 @@ import graft.model.Hit
   */
 object SearchEngine {
 
-  /** Load per-term stats and build the broadcastable query model. */
+  /** Load per-term stats and build the broadcastable query model.
+    * `analyzer` must be the index's recorded analyzer (IndexMeta) — the
+    * scored paths thread it through so query-time analysis always matches
+    * index-time analysis (ES invariant).
+    */
   def queryModel(spark: SparkSession, paths: IndexPaths, rawTerms: Seq[String],
-      k: Int): QueryModel = {
+      k: Int, analyzer: String = "standard",
+      useSynonyms: Boolean = false): QueryModel = {
     import spark.implicits._
-    val terms = QueryModel.analyzedTerms(rawTerms)
+    // index-time synonym map (meta.synonyms): query tokens canonicalize
+    // through the SAME map the build applied — index/query analysis parity
+    val syn = if (useSynonyms) Catalog.readSynonyms(spark, paths) else Map.empty[String, String]
+    val terms = QueryModel.analyzedTerms(rawTerms, analyzer, syn)
     if (terms.isEmpty) return QueryModel(Array.empty, Array.empty, 0.0, k)
     val stats = Catalog.readCorpusStats(spark, paths)
     val dfByTerm = Catalog.readDictionary(spark, paths)
@@ -38,7 +46,7 @@ object SearchEngine {
       .map(d => d.term -> d.df)
       .toMap
     // build from the RAW terms: boost suffixes must reach the weight parser
-    QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k)
+    QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k, analyzer, syn)
   }
 
   /** Postings scan restricted to the given terms (bucket pruning + term
@@ -75,7 +83,7 @@ object SearchEngine {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
-    val qm = queryModel(spark, paths, rawTerms, 1)
+    val qm = queryModel(spark, paths, rawTerms, 1, meta.analyzer, meta.synonyms)
     if (qm.isEmpty) return emptyHits(spark)
     val bcQm = spark.sparkContext.broadcast(qm)
 
@@ -145,7 +153,7 @@ object SearchEngine {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
-    val qm = queryModel(spark, paths, rawTerms, k)
+    val qm = queryModel(spark, paths, rawTerms, k, meta.analyzer, meta.synonyms)
     if (qm.isEmpty) return emptyHits(spark)
     val bcQm = spark.sparkContext.broadcast(qm)
 
@@ -236,7 +244,7 @@ object SearchEngine {
     import spark.implicits._
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
-    val qm = queryModel(spark, paths, rawTerms, k)
+    val qm = queryModel(spark, paths, rawTerms, k, meta.analyzer, meta.synonyms)
     if (qm.isEmpty || qm.terms.length < minMatch) return emptyHits(spark)
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, -1L))
     val bcQm = spark.sparkContext.broadcast(qm)
