@@ -158,6 +158,27 @@ object IndexCache {
   /** IVF coarse quantizer + persisted list assignment over `embeddings` —
     * trained/assigned once per corpus (the FAISS offline-train shape).
     */
+  private val ivfPqBuilt =
+    scala.collection.mutable.Map[String, (graft.operators.IvfPq.Model, String)]()
+
+  /** IVF-PQ model + encoded-codes table (built once per sfDir): 16 coarse
+    * lists, 8 subspaces × 16 codes over 64-dim embeddings — 8 code bytes +
+    * a norm per vector instead of 256 float bytes.
+    */
+  def ivfPq(spark: SparkSession, sfDir: String, nlist: Int = 16, m: Int = 8)
+      : (graft.operators.IvfPq.Model, String) = synchronized {
+    ivfPqBuilt.getOrElseUpdate(s"$sfDir#$nlist#$m", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft-index-$jvmTag/$key/ivfpq_codes_${nlist}_$m"
+      val model = graft.operators.IvfPq.train(spark, sfDir, nlist, m)
+      graft.operators.IvfPq
+        .encode(Catalog.readTable(spark, sfDir, "embeddings"), model)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("list_id").parquet(path)
+      (model, path)
+    })
+  }
+
   def ivf(spark: SparkSession, sfDir: String, nlist: Int = 16)
       : (Array[Array[Double]], String) = synchronized {
     ivfBuilt.getOrElseUpdate(s"$sfDir#$nlist", {

@@ -409,6 +409,13 @@ object SparkEntry {
       graft.operators.Ivf.annTopK(s, dir, 0L, K, centroids, nprobe = 4, lists,
         record = true)
     }),
+    // IVF-PQ with exact refine: ADC over 8-byte codes picks the shortlist,
+    // exact cosine re-ranks it — only `shortlist` full vectors are read
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val (model, codes) = IndexCache.ivfPq(s, dir)
+      graft.operators.IvfPq.annTopK(s, dir, 0L, K, model, nprobe = 4,
+        shortlist = 50, codesPath = codes, record = true)
+    }),
     "ann_lsh_topk" -> ((s, dir) =>
       Embeddings.annLshTopK(s, dir, 0L, K,
         bucketsPath = Some(IndexCache.lshBucketsPath(s, dir)))),
@@ -609,6 +616,11 @@ object SparkEntry {
     // reads oracleSql AFTER running queries); absent → rows-only, as before
     graft.operators.Ivf.lastOracle.map { case (probeId, k, cands) =>
       "ann_ivf_topk" -> OracleSql.annIvfTopK(probeId, k, cands)
+    } ++
+    // IVF-PQ: same candidate-set contract — the refine step's exact cosine
+    // over the recorded ADC shortlist is what DuckDB recomputes
+    graft.operators.IvfPq.lastOracle.map { case (probeId, k, cands) =>
+      "ann_ivfpq_topk" -> OracleSql.annIvfTopK(probeId, k, cands)
     } ++
     graft.operators.Curation.lastBpeOracle.toSeq.flatMap { wc =>
       Seq("token_counts_bpe" -> OracleSql.tokenCountsBpe(wc),

@@ -30,28 +30,33 @@ object Ivf {
     s
   }
 
-  /** Deterministic Lloyd k-means over the `sampleCap` lowest-id vectors. */
-  def trainCentroids(spark: SparkSession, sfDir: String, nlist: Int,
-      iters: Int = 5, sampleCap: Int = 4096): Array[Array[Double]] = {
-    import spark.implicits._
-    val sample = Catalog.readTable(spark, sfDir, "embeddings")
-      .select($"vec_id".cast("long"), $"embedding")
-      .as[(Long, Array[Float])]
-      .orderBy($"vec_id")
-      .limit(sampleCap)
-      .collect().map(_._2)
-    require(sample.length >= nlist, s"need >= $nlist training vectors")
+  /** Deterministic Lloyd core over an in-memory sample: first-k init, fixed
+    * iteration count, strict-< tie-break (lowest index wins), empty cluster
+    * keeps its centroid. Shared by the coarse quantizer here and the PQ
+    * sub-codebook training ([[IvfPq]]); float inputs are widened to double
+    * before any arithmetic, so extracting this core left
+    * [[trainCentroids]]'s output bit-identical.
+    */
+  private[operators] def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"need >= $k training vectors")
     val dims = sample.head.length
-    var centroids = Array.tabulate(nlist)(i => sample(i).map(_.toDouble))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var centroids = Array.tabulate(k)(i => sample(i).clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist)(new Array[Double](dims))
-      val counts = new Array[Long](nlist)
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         var best = 0
         var bd = Double.MaxValue
         var c = 0
-        while (c < nlist) {
-          val d = dist2(centroids(c), v)
+        while (c < k) {
+          val d = d2(centroids(c), v)
           if (d < bd) { bd = d; best = c } // strict <: lowest index wins ties
           c += 1
         }
@@ -60,13 +65,33 @@ object Ivf {
         var j = 0
         while (j < dims) { s(j) += v(j); j += 1 }
       }
-      centroids = Array.tabulate(nlist) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c) // empty list keeps its centroid
         else sums(c).map(_ / counts(c))
       }
     }
     centroids
   }
+
+  /** The `sampleCap` lowest-id embedding vectors — the shared deterministic
+    * training sample (the FAISS offline-train shape).
+    */
+  private[operators] def trainSample(spark: SparkSession, sfDir: String,
+      sampleCap: Int): Array[Array[Float]] = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "embeddings")
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .orderBy($"vec_id")
+      .limit(sampleCap)
+      .collect().map(_._2)
+  }
+
+  /** Deterministic Lloyd k-means over the `sampleCap` lowest-id vectors. */
+  def trainCentroids(spark: SparkSession, sfDir: String, nlist: Int,
+      iters: Int = 5, sampleCap: Int = 4096): Array[Array[Double]] =
+    lloyd(trainSample(spark, sfDir, sampleCap).map(_.map(_.toDouble)),
+      nlist, iters)
 
   /** Assign every vector to its nearest centroid: one narrow pass. */
   def assignLists(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
