@@ -34,6 +34,9 @@ object Bench {
     IndexCache.purgedIndex(spark, sfDir, Seq("stream"))  // expunge-merged variant
     IndexCache.titleIndex(spark, sfDir)                  // multi_match subfield
     IndexCache.ivf(spark, sfDir)                         // IVF coarse quantizer
+    IndexCache.ivfPq(spark, sfDir)                       // IVF-PQ codes table
+    IndexCache.englishIndex(spark, sfDir)                // stop+stem variant
+    IndexCache.synonymsIndex(spark, sfDir)               // index-time synonyms
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

@@ -1312,6 +1312,63 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** span_first twin: exact phrase whose 1-based start ≤ end − n + 1
+    * (equivalently: 0-based span end ≤ `end`, the engine's contract).
+    */
+  def spanFirst(phrase: Seq[String], end: Int): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+    val n = terms.length
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString("\n")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |$joins
+       |WHERE p0.term = '${terms.head}' AND p0.pos <= ${end - n + 1}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** span_not twin: an include-phrase span surviving every exclude-phrase
+    * span widened by pre/post (basis-independent inequalities, 1-based).
+    */
+  def spanNot(includePhrase: Seq[String], excludePhrase: Seq[String],
+      pre: Int, post: Int): String = {
+    def spanCte(phrase: Seq[String], alias: String): String = {
+      val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+      val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN pos ${alias}$i ON ${alias}$i.doc_id = ${alias}0.doc_id AND ${alias}$i.pos = ${alias}0.pos + $i AND ${alias}$i.term = '$t'"
+      }.mkString("\n")
+      s"""SELECT DISTINCT ${alias}0.doc_id AS doc_id, ${alias}0.pos AS s
+         |FROM pos ${alias}0
+         |$joins
+         |WHERE ${alias}0.term = '${terms.head}'""".stripMargin
+    }
+    val li = includePhrase.flatMap(graft.core.Analyzer.tokenize(_)).length
+    val le = excludePhrase.flatMap(graft.core.Analyzer.tokenize(_)).length
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc))),
+       |inc AS (${spanCte(includePhrase, "i")}),
+       |exc AS (${spanCte(excludePhrase, "e")})
+       |SELECT DISTINCT inc.doc_id AS doc_id
+       |FROM inc
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM exc
+       |  WHERE exc.doc_id = inc.doc_id
+       |    AND exc.s + $le - 1 >= inc.s - $pre
+       |    AND exc.s <= inc.s + $li - 1 + $post)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** span_near(in_order=false) twin: one position per term, all distinct,
     * within a window of span ≤ (n−1)+slop, any order.
     */

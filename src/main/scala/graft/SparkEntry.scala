@@ -448,6 +448,20 @@ object SparkEntry {
       graft.index.PositionalIndex.spanNearUnordered(s, idx.paths.root,
         Seq("join", "hash"), 2, idx.meta.buckets)
     }),
+    // Lucene span_first: 'join hash' matching entirely inside the first 12
+    // token positions (leading-content restriction)
+    "span_first" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.spanFirst(s, idx.paths.root,
+        Seq("join", "hash"), 12, idx.meta.buckets)
+    }),
+    // Lucene span_not: 'join' occurrences NOT within 1 position of a 'hash'
+    // occurrence (pre=1, post=1 — the adjacency-exclusion form)
+    "span_not" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.spanNot(s, idx.paths.root,
+        Seq("join"), Seq("hash"), 1, 1, idx.meta.buckets)
+    }),
     // ES match_phrase slop (ordered): "join ... hash" within 2 intervening
     "phrase_slop" -> ((s, dir) => {
       val idx = IndexCache.positionalIndex(s, dir)
@@ -604,6 +618,8 @@ object SparkEntry {
     "phrase_match_indexed" -> OracleSql.phraseMatch(Seq("join", "hash")),
     "phrase_topk" -> OracleSql.phraseTopK(Seq("join", "hash"), K),
     "phrase_slop" -> OracleSql.phraseMatchSloppy(Seq("join", "hash"), 2),
+    "span_first" -> OracleSql.spanFirst(Seq("join", "hash"), 12),
+    "span_not" -> OracleSql.spanNot(Seq("join"), Seq("hash"), 1, 1),
     "phrase_prefix" -> OracleSql.phrasePrefix(Seq("join"), "h"),
     "phrase_near_unordered" -> OracleSql.spanNearUnordered(Seq("join", "hash"), 2),
     "bm25_rescore" -> OracleSql.rescoreTopK(Seq("join", "window", "vector"), K, 50, 1.0, 2.0),

@@ -288,6 +288,98 @@ object PositionalIndex {
       .orderBy($"doc_id")
   }
 
+  /** Shared per-doc exact-phrase span starts: positions p0 where the whole
+    * (analyzed) phrase matches consecutively. `byTerm` maps term → sorted
+    * positions for ONE doc.
+    */
+  private def phraseStarts(terms: Seq[String],
+      byTerm: collection.Map[String, Array[Int]]): Array[Int] = {
+    if (!terms.forall(byTerm.contains)) return Array.emptyIntArray
+    val ti = terms.zipWithIndex
+    byTerm(terms.head).filter { p0 =>
+      ti.forall { case (t, i) =>
+        java.util.Arrays.binarySearch(byTerm(t), p0 + i) >= 0
+      }
+    }
+  }
+
+  /** Lucene `span_first`: the phrase must match with span END (exclusive,
+    * 0-based) ≤ `end` — the whole occurrence lies inside the first `end`
+    * token positions. Filter context: matching doc_ids, ordered. Same
+    * pruned positional scan + doc-keyed group shape as [[phraseTf]].
+    */
+  def spanFirst(spark: SparkSession, root: String, phrase: Seq[String],
+      end: Int, buckets: Int): DataFrame = {
+    import spark.implicits._
+    val terms = phrase.flatMap(Analyzer.tokenize(_))
+    require(terms.nonEmpty, "empty span_first phrase")
+    require(end >= terms.length, "end must cover the phrase length")
+    val distinctTerms = terms.distinct
+    val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    val n = terms.length
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        it.foreach { case (_, t, ps) => byTerm(t) = ps }
+        // earliest start suffices: starts are sorted ascending
+        val starts = phraseStarts(terms, byTerm)
+        if (starts.nonEmpty && starts(0) + n <= end) Iterator.single(doc)
+        else Iterator.empty
+      }
+      .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
+      .orderBy($"doc_id")
+  }
+
+  /** Lucene `span_not`: docs with an include-phrase span that does NOT
+    * overlap any exclude-phrase span widened by `pre` positions before and
+    * `post` after (SpanNotQuery's pre/post). A doc with include matches and
+    * no exclude matches keeps all its spans. Filter context: matching
+    * doc_ids, ordered. One pruned scan over BOTH phrases' terms.
+    */
+  def spanNot(spark: SparkSession, root: String, includePhrase: Seq[String],
+      excludePhrase: Seq[String], pre: Int, post: Int,
+      buckets: Int): DataFrame = {
+    import spark.implicits._
+    val inc = includePhrase.flatMap(Analyzer.tokenize(_))
+    val exc = excludePhrase.flatMap(Analyzer.tokenize(_))
+    require(inc.nonEmpty && exc.nonEmpty, "span_not needs both phrases")
+    val allTerms = (inc ++ exc).distinct
+    val qBuckets = allTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    val (li, le) = (inc.length, exc.length)
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(allTerms: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        it.foreach { case (_, t, ps) => byTerm(t) = ps }
+        val incStarts = phraseStarts(inc, byTerm)
+        if (incStarts.isEmpty) Iterator.empty
+        else {
+          val excStarts = phraseStarts(exc, byTerm)
+          // include span [s, s+li-1] survives unless an exclude span
+          // [t, t+le-1] intersects the widened zone [s-pre, s+li-1+post]
+          val survives = incStarts.exists { s =>
+            !excStarts.exists(t => t + le - 1 >= s - pre && t <= s + li - 1 + post)
+          }
+          if (survives) Iterator.single(doc) else Iterator.empty
+        }
+      }
+      .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
+      .orderBy($"doc_id")
+  }
+
   /** ES/Lucene `span_near` with `in_order: false`: the doc matches when one
     * position per term (all distinct) fits inside a window of span
     * ≤ (n−1) + slop, in ANY order — the unordered complement of

@@ -139,6 +139,45 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("span_first and span_not equal corpus brute force") {
+    import spark.implicits._
+    val idx = IndexCache.positionalIndex(spark, sfDir)
+    val toks = graft.io.Catalog.readDocuments(spark, sfDir)
+      .map(d => (d.doc_id, graft.core.Analyzer.tokenize(d.text)))
+      .collect().toSeq
+    def starts(ts: Array[String], phrase: Seq[String]): Seq[Int] =
+      (0 to ts.length - phrase.length)
+        .filter(i => phrase.indices.forall(j => ts(i + j) == phrase(j)))
+    // span_first across ends, incl. an end so tight nothing matches
+    for (end <- Seq(2, 5, 12, 40)) {
+      val got = docIds(PositionalIndex.spanFirst(spark, idx.paths.root,
+        Seq("join", "hash"), end, idx.meta.buckets))
+      val want = toks.collect {
+        case (id, ts) if starts(ts, Seq("join", "hash")).exists(_ + 2 <= end) => id
+      }.sorted
+      assert(got == want, s"span_first end=$end")
+    }
+    // span_not across pre/post, incl. 0/0 (pure overlap) and asymmetric
+    for ((pre, post) <- Seq((0, 0), (1, 1), (0, 3), (5, 0))) {
+      val got = docIds(PositionalIndex.spanNot(spark, idx.paths.root,
+        Seq("join"), Seq("hash"), pre, post, idx.meta.buckets))
+      val want = toks.collect {
+        case (id, ts) if {
+          val inc = starts(ts, Seq("join"))
+          val exc = starts(ts, Seq("hash"))
+          inc.exists(s => !exc.exists(t => t >= s - pre && t <= s + post))
+        } => id
+      }.sorted
+      assert(got == want, s"span_not pre=$pre post=$post")
+    }
+    // exclusion is load-bearing: span_not(join, hash) ⊂ contains(join)
+    val all = docIds(PositionalIndex.phraseMatch(spark, idx.paths.root,
+      Seq("join"), idx.meta.buckets))
+    val not = docIds(PositionalIndex.spanNot(spark, idx.paths.root,
+      Seq("join"), Seq("hash"), 1, 1, idx.meta.buckets))
+    assert(not.toSet.subsetOf(all.toSet) && not.size < all.size)
+  }
+
   test("positional block roundtrip") {
     import spark.implicits._
     val blocks = spark.read.parquet(PositionalIndex.pathOf(
