@@ -1506,4 +1506,263 @@ object OracleSql {
     """SELECT CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS rid,
       |       doc_id, source
       |FROM documents ORDER BY rid""".stripMargin
+
+  // --- ES constant_score / boosting / regexp / match_bool_prefix -------------
+
+  /** constant_score twin: every doc containing the filter term scores exactly
+    * `boost`; index-order (doc_id) tiebreak as in the engine.
+    */
+  def constantScore(term: String, boost: Double, k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+       |SELECT DISTINCT doc_id, round($boost, 4) AS score_r4 FROM tok
+       |WHERE term = '$term' ORDER BY doc_id LIMIT $k""".stripMargin
+
+  /** `boosting` query twin: full positive BM25, multiplied by
+    * `negativeBoost` for docs containing the negative term.
+    */
+  def boostingTopK(posTerms: Seq[String], negTerm: String,
+      negativeBoost: Double, k: Int): String = {
+    val t = posTerms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (SELECT doc_id, len(${toks("text")}) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats),
+       |scored AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY doc_id),
+       |neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = '$negTerm'),
+       |demoted AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+       |              THEN sc * $negativeBoost ELSE sc END AS f
+       |  FROM scored)
+       |SELECT doc_id, round(f, 4) AS fscore_r4
+       |FROM demoted ORDER BY f DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** `regexp` query twin: capped term-ordered vocabulary expansion of the
+    * anchored pattern, then the unscored disjunction (the wildcardDocs
+    * shape with a raw regex).
+    */
+  def queryRegexp(pattern: String, maxExpansions: Int = 1000): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |exp AS (SELECT term FROM vocab WHERE regexp_matches(term, '^(?:$pattern)$$')
+       |        ORDER BY term LIMIT $maxExpansions)
+       |SELECT DISTINCT doc_id FROM tok JOIN exp USING (term) ORDER BY doc_id""".stripMargin
+
+  /** match_bool_prefix twin: explicit terms plus the capped term-ordered
+    * prefix expansion, each clause scoring with its OWN idf
+    * (scoring_boolean rewrite), summed — self-contained SQL, no engine
+    * state (the bm25Fuzzy pattern).
+    */
+  def bm25BoolPrefix(terms: Seq[String], prefix: String, k: Int,
+      maxExpansions: Int = 50): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |exp AS (SELECT term FROM vocab WHERE term LIKE '$prefix%'
+       |        ORDER BY term LIMIT $maxExpansions),
+       |qt AS (SELECT term FROM exp UNION
+       |       SELECT unnest(${t.map(x => s"'$x'").mkString("[", ", ", "]")}) AS term),
+       |dls AS (SELECT doc_id, len(${toks("text")}) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** simple_query_string twin, generated from the SAME parse the engine
+    * runs (graft.search.QueryString.parse): term + prefix-expansion clauses
+    * score per-term idf; each phrase clause scores as a pseudo-term (phrase
+    * tf + phrase df); clause contributions sum per doc BEFORE the top-k
+    * cut; must_not docs drop.
+    */
+  def simpleQueryString(q: String, k: Int, maxExpansions: Int = 50): String = {
+    val p = graft.search.QueryString.parse(q)
+    val explicit =
+      if (p.terms.isEmpty) ""
+      else s" OR term IN ${inList(p.terms.sorted)}"
+    val prefixPred =
+      p.prefixes.sorted.map(pr => s"term LIKE '$pr%'").mkString(" OR ")
+    val expCte =
+      if (p.prefixes.isEmpty) "exp AS (SELECT NULL AS term WHERE false)"
+      else
+        s"""exp AS (SELECT term FROM (SELECT DISTINCT term FROM tok) v
+           |        WHERE $prefixPred ORDER BY term LIMIT $maxExpansions)""".stripMargin
+    val phraseCtes = p.phrases.zipWithIndex.map { case (ph, pi) =>
+      val joins = ph.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+      }.mkString("\n  ")
+      s"""ph${pi}_starts AS (
+         |  SELECT p0.doc_id, count(*) AS ptf
+         |  FROM pos p0
+         |  $joins
+         |  WHERE p0.term = '${ph.head}'
+         |  GROUP BY p0.doc_id),
+         |ph${pi}_df AS (SELECT count(*) AS df FROM ph${pi}_starts),
+         |ph${pi}_c AS (
+         |  SELECT s.doc_id,
+         |         ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         |         (s.ptf / (s.ptf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / st.avgdl))) AS c
+         |  FROM ph${pi}_starts s JOIN dls USING (doc_id)
+         |  CROSS JOIN ph${pi}_df d CROSS JOIN stats st)""".stripMargin
+    }
+    val posCte =
+      if (p.phrases.isEmpty) Nil
+      else Seq(
+        s"""pos AS (
+           |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+           |    SELECT doc_id,
+           |           unnest(list_transform(range(1, len(t) + 1),
+           |             i -> {'pos': i, 'term': t[i]})) AS u
+           |    FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)))""".stripMargin)
+    val termBranch =
+      """SELECT doc_id, c FROM contrib"""
+    val unions = (termBranch +: p.phrases.indices.map(i =>
+      s"SELECT doc_id, c FROM ph${i}_c")).mkString("\n  UNION ALL ")
+    val mustNot =
+      if (p.mustNot.isEmpty) ""
+      else s"\nWHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ${inList(p.mustNot.sorted)})"
+    (Seq(
+      s"WITH dls AS (SELECT doc_id, len(${toks("text")}) AS dl FROM documents)",
+      "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls)",
+      s"tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)",
+      expCte,
+      s"""tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN (SELECT term FROM exp)$explicit GROUP BY doc_id, term)""".stripMargin,
+      "dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)",
+      s"""contrib AS (
+         |  SELECT tf.doc_id,
+         |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+         |  FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats)""".stripMargin)
+      ++ posCte ++ phraseCtes).mkString(",\n") +
+      s""",
+         |allc AS (
+         |  $unions),
+         |summed AS (SELECT doc_id, sum(c) AS sc FROM allc GROUP BY doc_id)
+         |SELECT doc_id, round(sc, 4) AS score_r4 FROM summed$mustNot
+         |ORDER BY sc DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  // --- ES aggregation shapes (EsAggs) ----------------------------------------
+
+  def aggComposite(size: Int, after: Option[(String, String)]): String = {
+    val pred = after.map { case (l, s) =>
+      s"\nWHERE lang > '$l' OR (lang = '$l' AND source > '$s')"
+    }.getOrElse("")
+    s"""SELECT lang, source, count(*) AS n_docs FROM documents$pred
+       |GROUP BY lang, source ORDER BY lang, source LIMIT $size""".stripMargin
+  }
+
+  val aggFilters: String =
+    """SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+      |       count(CASE WHEN value > 300.0 THEN 1 END) AS high_value,
+      |       count(CASE WHEN event_type = 'purchase' AND value > 100.0 THEN 1 END) AS big_purchases,
+      |       count(*) AS total
+      |FROM events""".stripMargin
+
+  val aggRange: String =
+    """SELECT bucket, count(*) AS n_events, round(avg(value), 4) AS avg_value
+      |FROM (SELECT CASE WHEN value < 50.0 THEN '*-50'
+      |                  WHEN value < 150.0 THEN '50-150'
+      |                  WHEN value < 300.0 THEN '150-300'
+      |                  ELSE '300-*' END AS bucket, value
+      |      FROM events)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val aggExtendedStats: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+      |       round(avg(value), 4) AS avg_v, round(sum(value), 4) AS sum_v,
+      |       round(var_pop(value), 4) AS var_v, round(stddev_pop(value), 4) AS std_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def aggTermsByMetric(topN: Int): String =
+    s"""SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+       |FROM documents GROUP BY source
+       |ORDER BY avg_chars DESC, source LIMIT $topN""".stripMargin
+
+  def aggRareTerms(maxDocCount: Long): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+       |SELECT term, df FROM df WHERE df <= $maxDocCount
+       |ORDER BY df ASC, term ASC""".stripMargin
+
+  val aggHistogramPipeline: String =
+    """WITH hist AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT day, n_events,
+      |       CAST(sum(n_events) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+      |       n_events - lag(n_events, 1) OVER (ORDER BY day) AS deriv,
+      |       round(avg(n_events) OVER (ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg7_r4
+      |FROM hist ORDER BY day""".stripMargin
+
+  // --- corpus hygiene (Hygiene) ----------------------------------------------
+
+  val repetitionStats: String =
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM t),
+       |big AS (
+       |  SELECT doc_id, concat(t[i], ' ', t[i+1]) AS bg
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t)),
+       |mx AS (
+       |  SELECT doc_id, max(c) AS m FROM (
+       |    SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |       round(CASE WHEN b.n = 0 THEN 0.0
+       |                  ELSE (b.n - b.nd) * 1.0 / b.n END, 6) AS dup_token_frac_r6,
+       |       round(CASE WHEN b.n < 2 THEN 0.0
+       |                  ELSE coalesce(mx.m, 0) * 1.0 / (b.n - 1) END, 6) AS top_bigram_frac_r6
+       |FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** Decontamination twin over the same token trigrams as the engine (the
+    * eval side is the deterministic `doc_id % 97 = 0` holdout).
+    */
+  val decontaminate: String =
+    s"""WITH $shingleCte,
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM sh JOIN ev USING (s)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val splitHash: String =
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      |            THEN 'holdout' ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def stratifiedSample(perStratum: Int): String =
+    s"""WITH r AS (
+       |  SELECT source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |         doc_id
+       |  FROM documents)
+       |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id FROM r
+       |WHERE rn <= $perStratum ORDER BY source, rn""".stripMargin
 }

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{DocIds, TermFreqs}
 import graft.io.Catalog
-import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Phrase, Relational, TextAnalysis}
-import graft.search.{Aggregations, Booleans, BruteForce, FunctionScore, MoreLikeThis, Percolator, SearchEngine, TermQueries}
+import graft.operators.{Curation, Dedup, Embeddings, EsAggs, Hygiene, Multimodal, Phrase, Relational, TextAnalysis}
+import graft.search.{Aggregations, Booleans, BruteForce, FunctionScore, MoreLikeThis, Percolator, QueryString, SearchEngine, TermQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -519,6 +519,55 @@ object SparkEntry {
             6).as("l2_r6"))
         .orderBy($"vec_id")
     }),
+    // --- ES query DSL: constant_score / boosting / regexp / bool_prefix /
+    //     simple_query_string ------------------------------------------------
+    "constant_score" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      FunctionScore.constantScore(s, idx.paths.root, "join", 1.5, K)
+    }),
+    // ES boosting query: 'join window' demoted (not excluded) for docs
+    // containing 'stream'
+    "bm25_boosting" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      FunctionScore.boosting(s, idx.paths.root, Seq("join", "window"),
+        "stream", 0.3, K)
+    }),
+    "query_regexp" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      TermQueries.regexp(s, idx.paths.root, "(jo|ha)[a-z]+")
+    }),
+    // ES match_bool_prefix: 'window' scored + trailing 'h' prefix expanded
+    // scoring_boolean, all through the standard WAND pass
+    "bm25_bool_prefix" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      TermQueries.boolPrefixTopK(s, idx.paths.root, Seq("window"), "h", K)
+    }),
+    // ES simple_query_string: term + quoted-phrase + prefix + must_not
+    // clauses in one mini-language string, over the text + positional index
+    "bm25_sqs" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      QueryString.simpleQueryString(s, idx.paths.root, idx.paths.root,
+        """window "join hash" vec* -stream""", K)
+    }),
+    // --- ES aggregation shapes ----------------------------------------------
+    // composite agg page 2: buckets strictly after ('en', 'src2') in key
+    // order — the scale-safe paged bucket walk
+    "agg_composite" -> ((s, dir) =>
+      EsAggs.composite(s, dir, 6, Some(("en", "src2")))),
+    "agg_filters" -> ((s, dir) => EsAggs.filtersAgg(s, dir)),
+    "agg_range" -> ((s, dir) => EsAggs.rangeAgg(s, dir)),
+    "agg_extended_stats" -> ((s, dir) => EsAggs.extendedStats(s, dir)),
+    "agg_terms_by_metric" -> ((s, dir) => EsAggs.termsOrderBySubagg(s, dir)),
+    "agg_rare_terms" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      EsAggs.rareTerms(s, idx.paths.root, 60L)
+    }),
+    "agg_pipeline_hist" -> ((s, dir) => EsAggs.histogramPipeline(s, dir)),
+    // --- corpus hygiene: repetition / decontamination / splits --------------
+    "repetition_stats" -> ((s, dir) => Hygiene.repetitionStats(s, dir)),
+    "decontaminate" -> ((s, dir) => Hygiene.decontaminate(s, dir)),
+    "split_hash" -> ((s, dir) => Hygiene.splitHash(s, dir)),
+    "stratified_sample" -> ((s, dir) => Hygiene.stratifiedSample(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -627,6 +676,23 @@ object SparkEntry {
     "bool_or" -> OracleSql.boolOr(Seq("vector", "stream")),
     "distinct_users" -> OracleSql.distinctUsers,
     "vector_norms" -> OracleSql.vectorNorms,
+    "constant_score" -> OracleSql.constantScore("join", 1.5, K),
+    "bm25_boosting" -> OracleSql.boostingTopK(Seq("join", "window"), "stream", 0.3, K),
+    "query_regexp" -> OracleSql.queryRegexp("(jo|ha)[a-z]+"),
+    "bm25_bool_prefix" -> OracleSql.bm25BoolPrefix(Seq("window"), "h", K),
+    "bm25_sqs" -> OracleSql.simpleQueryString(
+      """window "join hash" vec* -stream""", K),
+    "agg_composite" -> OracleSql.aggComposite(6, Some(("en", "src2"))),
+    "agg_filters" -> OracleSql.aggFilters,
+    "agg_range" -> OracleSql.aggRange,
+    "agg_extended_stats" -> OracleSql.aggExtendedStats,
+    "agg_terms_by_metric" -> OracleSql.aggTermsByMetric(10),
+    "agg_rare_terms" -> OracleSql.aggRareTerms(60L),
+    "agg_pipeline_hist" -> OracleSql.aggHistogramPipeline,
+    "repetition_stats" -> OracleSql.repetitionStats,
+    "decontaminate" -> OracleSql.decontaminate,
+    "split_hash" -> OracleSql.splitHash,
+    "stratified_sample" -> OracleSql.stratifiedSample(3),
   ) ++
     // generated from engine state recorded while the query ran (Verify
     // reads oracleSql AFTER running queries); absent → rows-only, as before

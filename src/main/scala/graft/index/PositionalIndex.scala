@@ -523,6 +523,20 @@ object PositionalIndex {
       k: Int, buckets: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    phraseScores(spark, root, phrase, buckets)
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
+  /** Un-truncated phrase scores `(doc_id, score)` — the composable form
+    * [[phraseTopK]] cuts to k, and what a compound query (e.g.
+    * search.QueryString) sums with its other clauses BEFORE any truncation.
+    */
+  def phraseScores(spark: SparkSession, root: String, phrase: Seq[String],
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
     val terms = phrase.flatMap(Analyzer.tokenize(_))
     require(terms.nonEmpty, "empty phrase")
     val stats = graft.io.Catalog.readCorpusStats(spark, graft.io.Catalog.IndexPaths(root))
@@ -548,8 +562,5 @@ object PositionalIndex {
         (log(lit(1.0) + (lit(stats.n_docs.toDouble) - $"dfp" + lit(0.5)) / ($"dfp" + lit(0.5))) *
           ($"ptf" / ($"ptf" + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * $"dl" / lit(stats.avgdl)))))
           .as("score"))
-      .orderBy($"score".desc, $"doc_id".asc)
-      .limit(k)
-      .select($"doc_id", round($"score", 4).as("score_r4"))
   }
 }

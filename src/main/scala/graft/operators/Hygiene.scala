@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Analyzer
+import graft.io.Catalog
+
+/** Corpus-hygiene operators a 100 TB training-data pipeline runs between
+  * dedup and packing: repetition statistics (the Gopher-style "repetitive
+  * document" signals), benchmark decontamination (n-gram overlap against a
+  * held-out eval set), and deterministic hash-based splits / stratified
+  * samples (reproducible without any stored state — the split IS the
+  * function).
+  *
+  * All deterministic with DuckDB oracle twins; the per-doc passes are
+  * narrow (no shuffle), the decontamination join broadcasts the eval side.
+  */
+object Hygiene {
+
+  /** Repetition signals per document (Rae et al. 2021 "Gopher" §A1.1
+    * repetition filters, token-level form): fraction of tokens that are
+    * repeats of an earlier token, and the share of bigram slots taken by
+    * the single most frequent bigram. High values flag boilerplate /
+    * degenerate documents for the curation funnel.
+    *
+    * One typed map per row — a per-doc HashMap tally is O(dl) where the
+    * HOF/self-join formulations are O(dl²) or a corpus-wide shuffle; the
+    * pass stays narrow and codegen feeds it straight from the parquet scan.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        val t = Analyzer.tokenize(text).toArray
+        val n = t.length
+        val distinct = new java.util.HashSet[String]()
+        var i = 0
+        while (i < n) { distinct.add(t(i)); i += 1 }
+        val dupFrac = if (n == 0) 0.0 else (n - distinct.size).toDouble / n
+        var topBigram = 0
+        if (n >= 2) {
+          val counts = new java.util.HashMap[String, Int]()
+          i = 0
+          while (i < n - 1) {
+            val bg = t(i) + " " + t(i + 1)
+            val c = counts.merge(bg, 1, Integer.sum)
+            if (c > topBigram) topBigram = c
+            i += 1
+          }
+        }
+        val bgFrac = if (n < 2) 0.0 else topBigram.toDouble / (n - 1)
+        (docId, n.toLong, dupFrac, bgFrac)
+      }
+      .toDF("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
+      // HALF_UP via the Column round — the rounding DuckDB's round() also
+      // uses (math.rint would tie-break half-even and diverge from the oracle)
+      .select($"doc_id", $"n_tokens",
+        round($"dup_token_frac", 6).as("dup_token_frac_r6"),
+        round($"top_bigram_frac", 6).as("top_bigram_frac_r6"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination: training docs sharing any token `n`-gram
+    * with the eval set (here the deterministic holdout `doc_id % 97 = 0` —
+    * in production, the benchmark suites). Returns each contaminated train
+    * doc with its count of distinct shared shingles.
+    *
+    * The eval side is the small side by construction (benchmarks are MBs,
+    * the corpus is TBs), so its distinct shingles broadcast and the check
+    * is one narrow semi-join-shaped pass over the corpus — no corpus
+    * shuffle. The corpus side explodes shingles but aggregates per doc
+    * map-side before the (tiny, post-join) exchange.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+    def shingles(df: DataFrame): DataFrame =
+      df.select($"doc_id", Analyzer.tokensCol($"text").as("t"))
+        .filter(size($"t") >= n) // sequence(0, <0) would run descending
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(0, size(t) - $n), i -> " +
+            (0 until n).map(j => s"element_at(t, i + ${j + 1})").mkString("concat_ws(' ', ", ", ", ")") +
+            ")")).as("s"))
+        .distinct()
+    val evalShingles = shingles(docs.filter($"doc_id" % 97 === 0))
+      .select($"s").distinct()
+    shingles(docs.filter($"doc_id" % 97 =!= 0))
+      .join(broadcast(evalShingles), "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic train/holdout split by content-free hash: a document's
+    * assignment is `md5(doc_id)`'s first hex nibble — stable across runs,
+    * machines, and partitionings, with no stored split table to version.
+    * Nibbles 0-1 → holdout (12.5%). Pure projection: no shuffle at all.
+    */
+  def splitHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id",
+        when(substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"), "holdout").otherwise("train").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic stratified sample: the `perStratum` docs with the
+    * smallest `md5(doc_id)` per `source` stratum — an unbiased fixed-size
+    * sample reproducible from the hash alone. Uses the bounded per-bucket
+    * aggregator shape (ObjectHashAggregate with map-side partials, ≤
+    * `perStratum` rows per stratum per input partition crossing the
+    * exchange) — NOT a `row_number` window, which would shuffle the whole
+    * corpus by the low-cardinality stratum key and sort each stratum in one
+    * task (the r3 top_hits straggler, VERDICT r3).
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      perStratum: Int = 3): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .select($"source",
+        md5($"doc_id".cast("string").cast("binary")).as("h"), $"doc_id")
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .agg(new BottomKAgg(perStratum).toColumn.name("picks"))
+      .flatMap { case (source, picks) =>
+        picks.iterator.zipWithIndex.map { case ((_, doc), i) =>
+          (source, (i + 1).toLong, doc)
+        }
+      }
+      .toDF("source", "rn", "doc_id")
+      .orderBy($"source", $"rn")
+  }
+
+  /** Bounded per-stratum bottom-k by (hash asc, doc_id asc): the sampling
+    * twin of search.Aggregations.TopHitsAgg — O(k) state per group,
+    * partial-aggregated map-side.
+    */
+  private final class BottomKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Long), List[(String, Long)], Seq[(String, Long)]] {
+
+    private def better(a: (String, Long), b: (String, Long)): Boolean = {
+      val c = a._1.compareTo(b._1)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
+
+    override def zero: List[(String, Long)] = Nil
+
+    override def reduce(buf: List[(String, Long)],
+        in: (String, String, Long)): List[(String, Long)] =
+      insert(buf, (in._2, in._3))
+
+    private def insert(buf: List[(String, Long)],
+        e: (String, Long)): List[(String, Long)] = {
+      def ins(l: List[(String, Long)]): List[(String, Long)] = l match {
+        case Nil => e :: Nil
+        case h :: t => if (better(e, h)) e :: l else h :: ins(t)
+      }
+      if (buf.lengthCompare(k) >= 0 && !better(e, buf.last)) buf
+      else ins(buf).take(k)
+    }
+
+    override def merge(a: List[(String, Long)],
+        b: List[(String, Long)]): List[(String, Long)] =
+      b.foldLeft(a)((acc, e) => insert(acc, e))
+
+    override def finish(buf: List[(String, Long)]): Seq[(String, Long)] = buf
+
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+}

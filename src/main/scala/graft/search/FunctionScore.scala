@@ -104,4 +104,42 @@ object FunctionScore {
       .limit(k)
       .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
   }
+
+  /** ES `boosting` query: positive-query score, demoted by `negativeBoost`
+    * for docs matching the negative term (matching docs stay in the result,
+    * unlike `must_not`). Same exhaustive-pruned family as the rest of this
+    * file — the demotion only LOWERS scores, so a WAND pass on undemoted
+    * bounds would still be admissible, but it needs the negative set inside
+    * the shard scorer; at one extra narrow postings scan the pruned-
+    * exhaustive form is exact and simpler (Lucene's FunctionScoreQuery
+    * rewrite of BoostingQuery scores every positive match too).
+    */
+  def boosting(spark: SparkSession, root: String, posTerms: Seq[String],
+      negTerm: String, negativeBoost: Double, k: Int): DataFrame = {
+    import spark.implicits._
+    val scored = SearchEngine.scoreAllDocs(spark, root, posTerms)
+    val neg = Booleans.docsOf(spark, root, negTerm)
+      .withColumn("is_neg", lit(true))
+    scored.join(neg, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        when($"is_neg", $"score" * lit(negativeBoost))
+          .otherwise($"score").as("fscore"))
+      .orderBy($"fscore".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
+  }
+
+  /** ES `constant_score`: every doc matching the filter term scores exactly
+    * `boost` — one unscored postings read (bucket-pruned, term-pushdown),
+    * no stats, no tf decode needed beyond docIDs. Ties (all of them) break
+    * on doc_id, as Lucene's index-order tiebreak.
+    */
+  def constantScore(spark: SparkSession, root: String, term: String,
+      boost: Double, k: Int): DataFrame = {
+    import spark.implicits._
+    Booleans.docsOf(spark, root, term)
+      .orderBy($"doc_id")
+      .limit(k)
+      .select($"doc_id", round(lit(boost), 4).as("score_r4"))
+  }
 }

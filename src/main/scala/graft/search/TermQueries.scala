@@ -24,7 +24,7 @@ object TermQueries {
     * for 2-3 explicit terms; expansions can reach dozens, so they get a
     * single scan.)
     */
-  private def docsOfAny(spark: SparkSession, root: String,
+  private[search] def docsOfAny(spark: SparkSession, root: String,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
     if (terms.isEmpty) return spark.emptyDataset[Long].toDF("doc_id")
@@ -128,6 +128,52 @@ object TermQueries {
       .limit(maxExpansions)
       .collect().map(_.getString(0)).toSeq
     graft.search.SearchEngine.topKWandRounded(spark, root, expanded, k)
+  }
+
+  /** ES `regexp` query: dictionary terms matching the (anchored, as ES)
+    * regular expression, then the single bucket-pruned disjunction scan.
+    * Keep patterns to the portable core (classes, alternation, `.` `*` `+`
+    * `?`) — ES's Lucene regex dialect, Java's, and RE2 agree there.
+    */
+  def regexp(spark: SparkSession, root: String, pattern: String,
+      maxExpansions: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val expanded = Catalog.readDictionary(spark, IndexPaths(root))
+      .toDF()
+      .filter($"term".rlike(s"^(?:$pattern)$$"))
+      .orderBy($"term")
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+    docsOfAny(spark, root, expanded)
+  }
+
+  /** Capped, term-ordered dictionary expansion of a prefix — the shared
+    * building block of the scored prefix rewrites (`match_bool_prefix`,
+    * `simple_query_string`'s trailing `*`).
+    */
+  private[search] def prefixExpansions(spark: SparkSession, root: String,
+      p: String, maxExpansions: Int): Seq[String] = {
+    import spark.implicits._
+    Catalog.readDictionary(spark, IndexPaths(root))
+      .toDF()
+      .filter($"term".startsWith(p))
+      .orderBy($"term")
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** ES `match_bool_prefix`: every term but the last is an ordinary scored
+    * should-clause; the last is a prefix, rewritten scoring_boolean
+    * (dictionary expansion, each expansion scoring with its OWN idf) — then
+    * the whole disjunction runs through the standard WAND top-k pass, block-
+    * max pruning intact: after the rewrite there is nothing but term
+    * clauses, which is exactly why Lucene rewrites before scoring too.
+    */
+  def boolPrefixTopK(spark: SparkSession, root: String, terms: Seq[String],
+      prefix: String, k: Int, maxExpansions: Int = 50): DataFrame = {
+    val expanded = prefixExpansions(spark, root, prefix, maxExpansions)
+    val all = (terms ++ expanded).distinct
+    graft.search.SearchEngine.topKWandRounded(spark, root, all, k)
   }
 
   def fuzzy(spark: SparkSession, root: String, term: String,

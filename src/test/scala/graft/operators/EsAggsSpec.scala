@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexCache, TestSpark}
+import graft.io.Catalog
+
+class EsAggsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("composite: page walk covers the full bucket space exactly once, in key order") {
+    import spark.implicits._
+    val all = Catalog.readTable(spark, sfDir, "documents")
+      .groupBy($"lang", $"source").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => ((l, s), n) }.sortBy(_._1)
+    var after: Option[(String, String)] = None
+    var seen = Vector.empty[((String, String), Long)]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val page = EsAggs.composite(spark, sfDir, 7, after)
+        .as[(String, String, Long)].collect()
+        .map { case (l, s, n) => ((l, s), n) }
+      pages += 1
+      // within-page and cross-page key order is strict
+      assert(page.map(_._1).toSeq == page.map(_._1).toSeq.sorted)
+      seen ++= page
+      if (page.length < 7) done = true else after = Some(page.last._1)
+      assert(pages <= all.length + 1, "page walk must terminate")
+    }
+    assert(seen.toSeq == all.toSeq, "pages must tile the bucket space exactly")
+    assert(pages > 1, "fixture must exercise multiple pages")
+  }
+
+  test("filters agg matches direct predicate counts; a row may land in several buckets") {
+    import spark.implicits._
+    val events = Catalog.readTable(spark, sfDir, "events").cache()
+    val r = EsAggs.filtersAgg(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("clicks") == events.filter($"event_type" === "click").count())
+    assert(r.getAs[Long]("high_value") == events.filter($"value" > 300.0).count())
+    assert(r.getAs[Long]("total") == events.count())
+    // buckets overlap (purchase & >300 counts in both high_value and
+    // big_purchases), so bucket sums exceed a partition of total
+    assert(r.getAs[Long]("clicks") + r.getAs[Long]("errors") <= r.getAs[Long]("total"))
+    events.unpersist()
+  }
+
+  test("range agg: buckets tile [min,max) — counts sum to total, bounds respected") {
+    import spark.implicits._
+    val got = EsAggs.rangeAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = Catalog.readTable(spark, sfDir, "events").count()
+    assert(got.values.sum == total)
+    val lo = Catalog.readTable(spark, sfDir, "events")
+      .filter($"value" < 50.0).count()
+    assert(got.getOrElse("*-50", 0L) == lo)
+  }
+
+  test("extended_stats: population moments are internally consistent") {
+    val rows = EsAggs.extendedStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, s) = (r.getAs[Double]("var_v"), r.getAs[Double]("std_v"))
+      assert(math.abs(s * s - v) < 1e-2, s"std^2 != var for ${r.getString(0)}")
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("avg_v") &&
+        r.getAs[Double]("avg_v") <= r.getAs[Double]("max_v"))
+    }
+  }
+
+  test("terms ordered by sub-agg metric: descending avg, stable key tiebreak") {
+    val rows = EsAggs.termsOrderBySubagg(spark, sfDir, 5).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("avg_chars")))
+    assert(rows.length == 5)
+    assert(rows.map(-_._2).toSeq == rows.map(-_._2).toSeq.sorted)
+  }
+
+  test("rare_terms: pure dictionary work, df bound honored, matches raw df") {
+    import spark.implicits._
+    val root = IndexCache.documentsIndex(spark, sfDir).paths.root
+    val got = EsAggs.rareTerms(spark, root, 60L)
+      .as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2 <= 60L))
+    val raw = Catalog.readDocuments(spark, sfDir)
+      .flatMap(d => graft.core.Analyzer.tokenize(d.text).distinct)
+      .groupByKey(identity).count().filter(_._2 <= 60L)
+      .collect().sortBy(t => (t._2, t._1)).toSeq
+    assert(got == raw)
+  }
+
+  test("pipeline aggs: cumulative sum ends at total; derivative and moving_avg windows") {
+    import spark.implicits._
+    val rows = EsAggs.histogramPipeline(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("n_events"))
+    assert(rows.last.getAs[Long]("cum_events") == counts.sum)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("deriv")))
+    rows.zipWithIndex.drop(1).foreach { case (r, i) =>
+      assert(r.getAs[Long]("deriv") == counts(i) - counts(i - 1))
+      val w = counts.slice(math.max(0, i - 6), i + 1)
+      val want = math.rint(w.sum.toDouble / w.length * 1e4) / 1e4
+      assert(math.abs(r.getAs[Double]("mavg7_r4") - want) < 1e-9)
+    }
+  }
+}
