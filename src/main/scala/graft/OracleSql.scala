@@ -1765,4 +1765,129 @@ object OracleSql {
        |  FROM documents)
        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id FROM r
        |WHERE rn <= $perStratum ORDER BY source, rn""".stripMargin
+
+  /** ES _msearch twin: each sub-query's bm25TopK ranking tagged with its
+    * query_id, unioned, ordered (query_id, rounded score DESC, doc_id) —
+    * exactly the engine's batched output shape.
+    */
+  def msearch(queries: Seq[(String, Seq[String])], k: Int): String =
+    queries.map { case (qid, terms) =>
+      s"SELECT '$qid' AS query_id, doc_id, score_r4 FROM (\n${bm25TopK(terms, k)}\n)"
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY query_id ASC, score_r4 DESC, doc_id ASC")
+
+  /** ES rank_feature (saturation): bm25 + boost·x/(x+pivot). */
+  def rankFeature(terms: Seq[String], k: Int, field: String, pivot: Double,
+      boost: Double): String =
+    functionScored(terms, k,
+      s"s.score + ($boost * (CAST(d.$field AS DOUBLE) / " +
+        s"(CAST(d.$field AS DOUBLE) + $pivot)))")
+
+  /** ES terms_set: per-doc minimum_should_match = 1 + doc_id % 3 (the
+    * stored-field stand-in the engine documents).
+    */
+  def termsSet(terms: Seq[String], k: Int): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf
+       |  JOIN dfs USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib
+       |GROUP BY doc_id
+       |HAVING count(*) >= 1 + (doc_id % 3)
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Filtered kNN twin: exact cosine top-k within the label stratum. */
+  def knnFiltered(probeId: Long, k: Int, labelEq: Int): String =
+    s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS na,
+       |    list_sum(list_transform(range(1, len(pe) + 1),
+       |      i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS nb
+       |  FROM embeddings CROSS JOIN p
+       |  WHERE vec_id <> $probeId AND label = $labelEq)
+       |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
+       |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
+
+  /** Unigram-LM perplexity twin (add-one smoothing over the observed
+    * vocabulary, trained on the same corpus).
+    */
+  val lmPerplexity: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), cf AS (
+       |  SELECT term, count(*) AS cf FROM tok GROUP BY term
+       |), tot AS (
+       |  SELECT sum(cf) AS total, count(*) AS v FROM cf
+       |), lp AS (
+       |  SELECT doc_id, ln((cf + 1.0) / (total + v)) AS lp
+       |  FROM tok JOIN cf USING (term) CROSS JOIN tot
+       |)
+       |SELECT doc_id, count(*) AS n_tokens, round(exp(-avg(lp)), 4) AS ppl_r4
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Domain-mixture sampling twin: same counts → scale → per-domain rate →
+    * multiplicative-hash threshold arithmetic, term for term.
+    */
+  def domainMix(targets: Map[String, Double]): String = {
+    val vals = targets.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+    s"""WITH cnt AS (
+       |  SELECT source, count(*) AS c FROM documents GROUP BY source
+       |), tgt(source, w) AS (VALUES $vals),
+       |j AS (SELECT source, c, w FROM cnt JOIN tgt USING (source)),
+       |sc AS (SELECT min(c / w) AS s FROM j),
+       |rates AS (
+       |  SELECT source, least(1.0, w * s / c) AS r FROM j CROSS JOIN sc
+       |)
+       |SELECT doc_id, source
+       |FROM documents JOIN rates USING (source)
+       |WHERE ((doc_id * 2654435761) % 1000000) / 1000000.0 < r
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Redaction twin: global regexp_replace + extract-all count. */
+  val redactEvents: String =
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+      |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** ES weighted_avg twin (weight from the JSON payload, regex form). */
+  val aggWeightedAvg: String =
+    """SELECT event_type,
+      |       round(sum(value * w) / sum(w), 4) AS wavg_r4,
+      |       round(sum(w), 4) AS sum_w
+      |FROM (SELECT event_type, value,
+      |        TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS DOUBLE) AS w
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ES multi_terms twin: composite-key buckets ranked by count. */
+  def aggMultiTerms(topN: Int): String =
+    s"""SELECT lang, source, count(*) AS n_docs
+       |FROM documents GROUP BY lang, source
+       |ORDER BY n_docs DESC, lang ASC, source ASC LIMIT $topN""".stripMargin
 }

@@ -568,7 +568,49 @@ object SparkEntry {
     "decontaminate" -> ((s, dir) => Hygiene.decontaminate(s, dir)),
     "split_hash" -> ((s, dir) => Hygiene.splitHash(s, dir)),
     "stratified_sample" -> ((s, dir) => Hygiene.stratifiedSample(s, dir)),
+    // ES _msearch: 3 queries, ONE pruned postings scan + shard exchange,
+    // independent per-shard WAND passes per query (the batch-scoring shape)
+    "msearch" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.MSearch.msearch(s, idx.paths.root, MSearchQueries, K)
+    }),
+    // ES rank_feature (saturation fn): bm25 + 1.2 * x/(x+pivot) on n_chars
+    "bm25_rank_feature" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      FunctionScore.rankFeature(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K, field = "n_chars",
+        pivot = 287.0, boost = 1.2)
+    }),
+    // ES terms_set: per-doc minimum_should_match (1 + doc_id % 3 models the
+    // stored minimum_should_match_field)
+    "bm25_terms_set" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      SearchEngine.termsSetTopK(s, idx.paths.root,
+        Seq("hash", "stream", "sort"), K)
+    }),
+    // ES kNN with filter clause: exact cosine top-k inside the label stratum
+    "knn_filtered" -> ((s, dir) =>
+      Embeddings.cosineTopKFiltered(s, dir, 0L, K, labelEq = 3)),
+    // CCNet-style unigram-LM perplexity filter (corpus-trained, add-one)
+    "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(s, dir)),
+    // DoReMi-style domain-mixture sampling to target source weights
+    "domain_mix" -> ((s, dir) => Hygiene.domainMix(s, dir, DomainTargets)),
+    // PII-shaped redaction audit pass over the events JSON payloads
+    "redact_patterns" -> ((s, dir) => Hygiene.redactEvents(s, dir)),
+    // ES weighted_avg / multi_terms aggregation shapes
+    "agg_weighted_avg" -> ((s, dir) => EsAggs.weightedAvg(s, dir)),
+    "agg_multi_terms" -> ((s, dir) => EsAggs.multiTerms(s, dir)),
   )
+
+  /** msearch batch: head-term, mid-term, and mixed sub-queries. */
+  private val MSearchQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("join", "window", "vector"),
+    "q2" -> Seq("hash", "stream"),
+    "q3" -> Seq("sort", "merge", "filter"))
+
+  /** domain_mix targets (sources beyond these are dropped by contract). */
+  private val DomainTargets: Map[String, Double] =
+    Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -693,6 +735,16 @@ object SparkEntry {
     "decontaminate" -> OracleSql.decontaminate,
     "split_hash" -> OracleSql.splitHash,
     "stratified_sample" -> OracleSql.stratifiedSample(3),
+    "msearch" -> OracleSql.msearch(MSearchQueries, K),
+    "bm25_rank_feature" -> OracleSql.rankFeature(Seq("join", "window", "vector"),
+      K, field = "n_chars", pivot = 287.0, boost = 1.2),
+    "bm25_terms_set" -> OracleSql.termsSet(Seq("hash", "stream", "sort"), K),
+    "knn_filtered" -> OracleSql.knnFiltered(0L, K, labelEq = 3),
+    "lm_perplexity" -> OracleSql.lmPerplexity,
+    "domain_mix" -> OracleSql.domainMix(DomainTargets),
+    "redact_patterns" -> OracleSql.redactEvents,
+    "agg_weighted_avg" -> OracleSql.aggWeightedAvg,
+    "agg_multi_terms" -> OracleSql.aggMultiTerms(10),
   ) ++
     // generated from engine state recorded while the query ran (Verify
     // reads oracleSql AFTER running queries); absent → rows-only, as before

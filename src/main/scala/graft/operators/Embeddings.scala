@@ -47,6 +47,32 @@ object Embeddings {
       .limit(k)
   }
 
+  /** ES filtered kNN (`knn` with a `filter` clause): exact cosine top-k
+    * restricted to vectors whose metadata matches the predicate. ES applies
+    * the filter DURING graph traversal (post-filtering would starve k);
+    * the brute-force equivalent filters before scoring — the `label`
+    * predicate pushes down to the parquet scan (row-group stats prune), so
+    * non-matching vectors are never read, and the scored set shrinks to the
+    * filtered stratum while staying perfectly parallel. The ANN scale path
+    * (IVF/LSH) composes the same way: predicate first, probe within.
+    */
+  def cosineTopKFiltered(spark: SparkSession, sfDir: String, probeId: Long,
+      k: Int, labelEq: Int): DataFrame = {
+    import spark.implicits._
+    val emb = Catalog.readTable(spark, sfDir, "embeddings")
+    val probe = emb.filter($"vec_id" === probeId)
+      .select($"embedding".as("pe"))
+    emb.filter($"vec_id" =!= probeId && $"label" === labelEq)
+      .join(broadcast(probe))
+      .select($"vec_id",
+        round(
+          expr(dotExpr("embedding", "pe")) /
+            (sqrt(expr(dotExpr("embedding", "embedding"))) * sqrt(expr(dotExpr("pe", "pe")))),
+          6).as("cos_r6"))
+      .orderBy($"cos_r6".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
   /** Deterministic hyperplane weight w(i, j): first md5 byte of "i_j"
     * (two hex nibbles → 0..255), centered to (v − 127.5)/128 — replayable
     * bit-for-bit by the DuckDB oracle.

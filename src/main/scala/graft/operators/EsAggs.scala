@@ -132,6 +132,37 @@ object EsAggs {
       .orderBy($"df".asc, $"term".asc)
   }
 
+  /** ES `weighted_avg` aggregation: Σ(value·weight)/Σ(weight) per bucket,
+    * the weight drawn from the event's JSON payload (ES reads it from a
+    * doc field the same way). Both sums are mergeable accumulators — one
+    * hash agg with map-side partials, nothing new crosses the exchange.
+    */
+  def weightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .select($"event_type", $"value",
+        regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("double").as("w"))
+      .groupBy($"event_type")
+      .agg(round(sum($"value" * $"w") / sum($"w"), 4).as("wavg_r4"),
+        round(sum($"w"), 4).as("sum_w"))
+      .orderBy($"event_type")
+  }
+
+  /** ES `multi_terms` aggregation: buckets keyed by a composite of several
+    * fields, ranked by doc count (vs `composite`, which pages in KEY order
+    * — multi_terms ranks, so it must see every bucket, exactly like
+    * `terms`). One multi-key hash agg + TakeOrderedAndProject; ES documents
+    * this agg as shard-approximate, over one Spark aggregation it is exact.
+    */
+  def multiTerms(spark: SparkSession, sfDir: String, topN: Int = 10): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"lang".asc, $"source".asc)
+      .limit(topN)
+  }
+
   /** The ES date-histogram PIPELINE aggs in one pass: `cumulative_sum`,
     * `derivative`, and `moving_avg` (7-bucket window) over the daily event
     * counts. The window runs over the AGGREGATED histogram — one row per

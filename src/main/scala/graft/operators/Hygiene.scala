@@ -135,6 +135,52 @@ object Hygiene {
       .orderBy($"source", $"rn")
   }
 
+  /** Domain-mixture sampling: select a maximal subset of the corpus whose
+    * `source` composition matches the target weights (the DoReMi/Pile-style
+    * "data mixture" step before packing). With per-domain counts c_d and
+    * target weights w_d, the largest achievable total is
+    * scale = min_d(c_d / w_d); each domain keeps rate_d = w_d·scale / c_d
+    * of its docs, chosen by a content-free multiplicative hash of doc_id —
+    * deterministic, stateless, reproducible on any partitioning.
+    *
+    * Scale shape: the counts agg is one tiny shuffle (|domains| rows), the
+    * rates table broadcasts, and selection is a narrow filtered projection —
+    * no corpus shuffle at all. Rate selection is hash-threshold (binomially
+    * exact in expectation); the exact-count variant would need a per-domain
+    * rank — a window by a low-cardinality key, the documented skew hazard.
+    */
+  def domainMix(spark: SparkSession, sfDir: String,
+      targets: Map[String, Double]): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+    val cnt = docs.groupBy($"source").agg(count(lit(1)).as("c"))
+    val tgt = targets.toSeq.sortBy(_._1).toDF("source", "w")
+    val joined = cnt.join(tgt, "source")
+    val scale = joined.agg(min($"c" / $"w").as("s"))
+    val rates = joined.crossJoin(broadcast(scale))
+      .select($"source", least(lit(1.0), $"w" * $"s" / $"c").as("r"))
+    docs.join(broadcast(rates), "source")
+      .filter((($"doc_id" * 2654435761L) % 1000000L) / 1000000.0 < $"r")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** PII-shaped redaction pass: numeric literals replaced by a placeholder
+    * token, with the per-row redaction count (the audit column a compliance
+    * pipeline keeps). The `events.props` JSON payloads carry the corpus's
+    * only free-form literals; the same `regexp_replace` chain extends to
+    * emails/phones/SSNs by adding alternates. Purely narrow — codegen'd
+    * regex over the scan, no shuffle, scales embarrassingly.
+    */
+  def redactEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .select($"event_id",
+        regexp_replace($"props", "[0-9]+", "<NUM>").as("redacted"),
+        regexp_count($"props", lit("[0-9]+")).cast("long").as("n_redactions"))
+      .orderBy($"event_id")
+  }
+
   /** Bounded per-stratum bottom-k by (hash asc, doc_id asc): the sampling
     * twin of search.Aggregations.TopHitsAgg — O(k) state per group,
     * partial-aggregated map-side.

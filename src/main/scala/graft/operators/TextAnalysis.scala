@@ -63,6 +63,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Unigram language-model perplexity per document — the CCNet/KenLM-style
+    * quality filter (Wenzek et al. 2020): documents scoring far from the
+    * corpus LM (high perplexity) are boilerplate/garbage candidates; the
+    * production pipeline buckets on this per-doc number.
+    *
+    * The LM is trained on the corpus itself in one aggregation (term →
+    * count), add-one smoothed over the observed vocabulary:
+    * p(t) = (cf_t + 1) / (total + |V|); ppl(doc) = exp(−mean ln p).
+    *
+    * Scale shape: the count table is vocab-sized (Heaps' law: ~10^7 rows at
+    * 100 TB — broadcastable; past that, a shuffled hash join on the uniform
+    * `term` key), the scoring pass is explode → broadcast-join → per-doc
+    * agg with map-side partials. No corpus self-join, no window. The
+    * summation-order difference between engines is ~1e-14 relative, far
+    * under the 1e-4 rounding.
+    */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", explode(Analyzer.tokensCol($"text")).as("term"))
+    val cf = tok.groupBy($"term").agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum($"cf").as("total"), count(lit(1)).as("v"))
+    tok.join(broadcast(cf), "term")
+      .join(broadcast(tot))
+      .select($"doc_id", log(($"cf" + lit(1.0)) / ($"total" + $"v")).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(exp(-avg($"lp")), 4).as("ppl_r4"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting): token
     * 3-gram md5 hashes, per-position window minimum (w = 4), distinct mins
     * summarized per doc. String-min over md5 hex — exact in both engines.

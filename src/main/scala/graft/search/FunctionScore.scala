@@ -105,6 +105,36 @@ object FunctionScore {
       .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
   }
 
+  /** ES `rank_feature` query (saturation function, the default): a bool
+    * `should` clause contributing `boost · x / (x + pivot)` per doc on top
+    * of the main match score — the shape ES recommends for static signals
+    * (pagerank, url_length, …) because saturation bounds the contribution
+    * by `boost` no matter how large the feature gets.
+    *
+    * ES stores rank features in a dedicated field type so the contribution
+    * can drive skipping; here the feature is a metadata column, so the plan
+    * is the same exhaustive-pruned family as [[fieldValueFactor]]: postings
+    * of the query terms only, 2-column metadata join, codegen'd saturation,
+    * TakeOrdered. The additive form (`boost_mode: sum`) is the bool-should
+    * composition ES documents for rank_feature.
+    */
+  def rankFeature(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], k: Int, field: String, pivot: Double,
+      boost: Double): DataFrame = {
+    import spark.implicits._
+    require(pivot > 0.0, "rank_feature pivot must be positive, as ES")
+    val scored = SearchEngine.scoreAllDocs(spark, root, rawTerms)
+    val meta = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", col(field))
+    val x = col(field).cast("double")
+    val sat = lit(boost) * (x / (x + lit(pivot)))
+    scored.join(meta, "doc_id")
+      .select($"doc_id", ($"score" + sat).as("fscore"))
+      .orderBy($"fscore".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
+  }
+
   /** ES `boosting` query: positive-query score, demoted by `negativeBoost`
     * for docs matching the negative term (matching docs stay in the result,
     * unlike `must_not`). Same exhaustive-pruned family as the rest of this

@@ -185,6 +185,59 @@ object SearchEngine {
       .limit(k)
   }
 
+  /** ES `terms_set` query: a term disjunction whose minimum-should-match is
+    * PER-DOCUMENT (ES reads it from `minimum_should_match_field`, a stored
+    * doc value). Here the stored value is modeled by the deterministic
+    * `1 + doc_id % 3` (the corpus carries no such column; the shape — a
+    * per-doc dynamic threshold — is what matters and is exactly what ES
+    * evaluates). Docs with at least that many distinct matching terms score
+    * the usual BM25 sum over the present terms.
+    *
+    * A per-doc threshold breaks WAND's global mm-pivot (the pivot needs one
+    * corpus-wide mm), so this is the exhaustive-pruned family by necessity —
+    * Lucene's CoveringQuery scores exhaustively for the same reason. The
+    * scan is still bucket-pruned + term-pushed-down; only (doc, term)
+    * contribution rows of the QUERY terms shuffle.
+    */
+  def termsSetTopK(spark: SparkSession, root: String, rawTerms: Seq[String],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val meta = Indexer.readMeta(spark, root)
+    val qm = queryModel(spark, paths, rawTerms, k, meta.analyzer, meta.synonyms)
+    if (qm.isEmpty) return emptyHits(spark)
+    val bcQm = spark.sparkContext.broadcast(qm)
+
+    queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
+      .flatMap { b =>
+        val qmv = bcQm.value
+        val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
+        if (ti < 0) Iterator.empty
+        else {
+          val idf = qmv.idfs(ti)
+          val d = Blocks.decode(b)
+          (0 until d.docs.length).iterator.map(i =>
+            (d.docs(i), ti, idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, qmv.avgdl)))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val arr = it.toArray.sortBy(_._2) // fixed summation order
+        val required = 1 + (docId % 3).toInt
+        if (arr.length < required) Iterator.empty
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < arr.length) { s += arr(i)._3; i += 1 }
+          Iterator.single(Hit(docId, s))
+        }
+      }
+      .toDF()
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"score", 4).as("score_r4"))
+  }
+
   /** ES from/size pagination: rows (from, from+size] of the ranking. The
     * WAND pass retrieves the top from+size (inherently O(from+size), like
     * ES's from/size — capped there at 10k); the page slice is taken on the
