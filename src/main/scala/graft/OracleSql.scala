@@ -1890,4 +1890,123 @@ object OracleSql {
     s"""SELECT lang, source, count(*) AS n_docs
        |FROM documents GROUP BY lang, source
        |ORDER BY n_docs DESC, lang ASC, source ASC LIMIT $topN""".stripMargin
+
+  /** Phrase-suggester twin: dictionary (df for candidate order, cf for the
+    * LM) recomputed from the corpus, same caps, same add-one bigram LM.
+    */
+  def suggestPhrase(input: Seq[String], n: Int, maxDist: Int,
+      maxExp: Int): String = {
+    require(input.length == 2)
+    def cand(alias: String, col: String, term: String) =
+      s"""$alias AS (
+         |  SELECT term AS $col, cf FROM (
+         |    SELECT term, cf, df, levenshtein(term, '$term') AS dist FROM cf)
+         |  WHERE dist <= $maxDist
+         |  ORDER BY dist ASC, df DESC, term ASC LIMIT $maxExp)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), cf AS (
+       |  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY term
+       |), tot AS (
+       |  SELECT sum(cf) AS total, count(*) AS v FROM cf
+       |),
+       |${cand("c1", "w1", input(0))},
+       |${cand("c2", "w2", input(1))},
+       |big AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS bg
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+       |        FROM (SELECT ${toks("text")} AS t FROM documents))
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT c1.w1, c2.w2, c1.cf AS cf1, coalesce(big.bg, 0) AS bg
+       |  FROM c1 CROSS JOIN c2 LEFT JOIN big USING (w1, w2)
+       |), s AS (
+       |  SELECT w1 AS cand1, w2 AS cand2,
+       |         ln((cf1 + 1.0) / (total + v)) + ln((bg + 1.0) / (cf1 + v)) AS s
+       |  FROM p CROSS JOIN tot
+       |)
+       |SELECT cand1, cand2, round(s, 4) AS score_r4
+       |FROM s ORDER BY s DESC, cand1 ASC, cand2 ASC LIMIT $n""".stripMargin
+  }
+
+  /** _rank_eval twin: same derived judgments, same metric arithmetic.
+    * `judgmentTerms` grade relevance; `terms` drive the ranking.
+    */
+  def rankEval(terms: Seq[String], k: Int,
+      judgmentTerms: Seq[String] = Nil): String = {
+    val jt = (if (judgmentTerms.nonEmpty) judgmentTerms else terms)
+      .flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH dls AS (
+       |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf
+       |  JOIN dfs USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |), scores AS (
+       |  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+       |), topk AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       |  FROM (SELECT * FROM scores ORDER BY score DESC, doc_id ASC LIMIT $k)
+       |), rel AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(list_distinct(${toks("text")}),
+       |           x -> x IN ${inList(jt)})) AS BIGINT) AS rel
+       |  FROM documents
+       |), hits AS (
+       |  SELECT t.r, coalesce(rel.rel, 0) AS rel FROM topk t LEFT JOIN rel USING (doc_id)
+       |), ideal AS (
+       |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS r
+       |  FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id ASC LIMIT $k)
+       |), m AS (
+       |  SELECT
+       |    (SELECT count(*) FROM hits WHERE rel >= 2) / (1.0 * $k) AS p,
+       |    coalesce((SELECT 1.0 / min(r) FROM hits WHERE rel >= 2), 0.0) AS mrr,
+       |    (SELECT sum((pow(2, rel) - 1) / (ln(r + 1.0) / ln(2))) FROM hits) AS dcg,
+       |    (SELECT sum((pow(2, rel) - 1) / (ln(r + 1.0) / ln(2))) FROM ideal) AS idcg
+       |)
+       |SELECT round(p, 6) AS p_at_k_r6, round(mrr, 6) AS mrr_r6,
+       |       round(CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END, 6) AS ndcg_r6
+       |FROM m""".stripMargin
+  }
+
+  /** adjacency_matrix twin: one aggregation row, unpivoted. */
+  val aggAdjacency: String =
+    """WITH x AS (
+      |  SELECT
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS a,
+      |    count(CASE WHEN event_type = 'error' THEN 1 END) AS b,
+      |    count(CASE WHEN value > 300.0 THEN 1 END) AS c,
+      |    count(CASE WHEN event_type = 'click' AND event_type = 'error' THEN 1 END) AS ab,
+      |    count(CASE WHEN event_type = 'click' AND value > 300.0 THEN 1 END) AS ac,
+      |    count(CASE WHEN event_type = 'error' AND value > 300.0 THEN 1 END) AS bc
+      |  FROM events)
+      |SELECT key, n_events FROM (
+      |  SELECT 'click' AS key, a AS n_events FROM x
+      |  UNION ALL SELECT 'error', b FROM x
+      |  UNION ALL SELECT 'high', c FROM x
+      |  UNION ALL SELECT 'click&error', ab FROM x
+      |  UNION ALL SELECT 'click&high', ac FROM x
+      |  UNION ALL SELECT 'error&high', bc FROM x)
+      |ORDER BY key""".stripMargin
+
+  /** bucket_selector + bucket_sort twin (HAVING + ranked page). */
+  def aggBucketSort(minEvents: Long, topN: Int): String =
+    s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+       |FROM events GROUP BY 1 HAVING count(*) >= $minEvents
+       |ORDER BY n_events DESC, day ASC LIMIT $topN""".stripMargin
 }

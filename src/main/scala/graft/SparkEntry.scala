@@ -600,6 +600,22 @@ object SparkEntry {
     // ES weighted_avg / multi_terms aggregation shapes
     "agg_weighted_avg" -> ((s, dir) => EsAggs.weightedAvg(s, dir)),
     "agg_multi_terms" -> ((s, dir) => EsAggs.multiTerms(s, dir)),
+    // ES phrase suggester: dictionary candidates re-ranked by a corpus
+    // bigram LM ("jion hash" → "join hash" by bigram evidence)
+    "suggest_phrase" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.Suggest.phrase(s, idx.paths.root, dir, Seq("jion", "hash"), 5,
+        maxDist = 2)
+    }),
+    // ES _rank_eval: precision@k / MRR / NDCG@k against derived judgments
+    "rank_eval" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.RankEval.evaluate(s, idx.paths.root, dir,
+        Seq("join"), K, judgmentTerms = Seq("join", "window", "vector"))
+    }),
+    // ES adjacency_matrix / bucket_selector+bucket_sort pipeline aggs
+    "agg_adjacency" -> ((s, dir) => EsAggs.adjacencyMatrix(s, dir)),
+    "agg_bucket_sort" -> ((s, dir) => EsAggs.bucketSelectorSort(s, dir, 330L, 5)),
   )
 
   /** msearch batch: head-term, mid-term, and mixed sub-queries. */
@@ -745,6 +761,12 @@ object SparkEntry {
     "redact_patterns" -> OracleSql.redactEvents,
     "agg_weighted_avg" -> OracleSql.aggWeightedAvg,
     "agg_multi_terms" -> OracleSql.aggMultiTerms(10),
+    "suggest_phrase" -> OracleSql.suggestPhrase(Seq("jion", "hash"), 5,
+      maxDist = 2, maxExp = 10),
+    "rank_eval" -> OracleSql.rankEval(Seq("join"), K,
+      judgmentTerms = Seq("join", "window", "vector")),
+    "agg_adjacency" -> OracleSql.aggAdjacency,
+    "agg_bucket_sort" -> OracleSql.aggBucketSort(330L, 5),
   ) ++
     // generated from engine state recorded while the query ran (Verify
     // reads oracleSql AFTER running queries); absent → rows-only, as before

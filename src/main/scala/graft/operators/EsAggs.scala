@@ -163,6 +163,48 @@ object EsAggs {
       .limit(topN)
   }
 
+  /** ES `adjacency_matrix` aggregation: named filters plus every pairwise
+    * intersection, one pass (ES caps the matrix for the same combinatorial
+    * reason this takes explicit filters). All `count(when(...))` columns of
+    * a single partial+final agg row, unpivoted to ES's bucket-per-key rows
+    * at the end — the unpivot touches ONE row, never the corpus.
+    */
+  def adjacencyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = $"event_type" === "click"
+    val b = $"event_type" === "error"
+    val c = $"value" > 300.0
+    Catalog.readTable(spark, sfDir, "events")
+      .agg(
+        count(when(a, 1)).as("a"), count(when(b, 1)).as("b"),
+        count(when(c, 1)).as("c"), count(when(a && b, 1)).as("ab"),
+        count(when(a && c, 1)).as("ac"), count(when(b && c, 1)).as("bc"))
+      .selectExpr(
+        """stack(6,
+          |  'click', a, 'error', b, 'high', c,
+          |  'click&error', ab, 'click&high', ac, 'error&high', bc)
+          |  AS (key, n_events)""".stripMargin)
+      .orderBy($"key")
+  }
+
+  /** ES pipeline `bucket_selector` + `bucket_sort` over a date histogram:
+    * buckets failing the predicate are dropped (HAVING), survivors ranked
+    * by the metric with a page cut. Both pipelines run over the AGGREGATED
+    * bucket stream — the predicate and sort see one row per day, so the
+    * heavy work stays in the partial+final hash agg and the final
+    * TakeOrderedAndProject ranks O(days) rows.
+    */
+  def bucketSelectorSort(spark: SparkSession, sfDir: String,
+      minEvents: Long, topN: Int): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter($"n_events" >= minEvents)
+      .orderBy($"n_events".desc, $"day".asc)
+      .limit(topN)
+  }
+
   /** The ES date-histogram PIPELINE aggs in one pass: `cumulative_sum`,
     * `derivative`, and `moving_avg` (7-bucket window) over the daily event
     * counts. The window runs over the AGGREGATED histogram — one row per
