@@ -2009,4 +2009,29 @@ object OracleSql {
     s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
        |FROM events GROUP BY 1 HAVING count(*) >= $minEvents
        |ORDER BY n_events DESC, day ASC LIMIT $topN""".stripMargin
+
+  /** top_metrics twin: argmax by the unique sort key. */
+  val aggTopMetrics: String =
+    """SELECT event_type, max_by(value, event_id) AS latest_value,
+      |       max(event_id) AS latest_event_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** percentile_ranks twin: exact percent-at-or-below per threshold. */
+  def aggPercentileRanks(at: Seq[Double]): String = {
+    val cols = at.map(x =>
+      s"round(count(CASE WHEN value <= $x THEN 1 END) * 100.0 / count(*), 4) AS pr_${x.toLong}")
+    s"""SELECT event_type, ${cols.mkString(", ")}
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** numeric histogram twin: fixed-interval buckets. */
+  def aggHistogramNumeric(interval: Long): String =
+    s"""SELECT CAST(floor(value / $interval) AS BIGINT) * $interval AS bucket,
+       |       count(*) AS n_events
+       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** _mget twin: id-list fetch. */
+  def mget(ids: Seq[Long]): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id IN (${ids.mkString(", ")}) ORDER BY doc_id""".stripMargin
 }

@@ -616,6 +616,13 @@ object SparkEntry {
     // ES adjacency_matrix / bucket_selector+bucket_sort pipeline aggs
     "agg_adjacency" -> ((s, dir) => EsAggs.adjacencyMatrix(s, dir)),
     "agg_bucket_sort" -> ((s, dir) => EsAggs.bucketSelectorSort(s, dir, 330L, 5)),
+    // ES top_metrics / percentile_ranks / numeric histogram agg shapes
+    "agg_top_metrics" -> ((s, dir) => EsAggs.topMetrics(s, dir)),
+    "agg_percentile_ranks" -> ((s, dir) =>
+      EsAggs.percentileRanks(s, dir, Seq(100.0, 250.0))),
+    "agg_histogram_numeric" -> ((s, dir) => EsAggs.histogramNumeric(s, dir, 50L)),
+    // ES _mget: explicit id-list document fetch (pruned metadata scan)
+    "mget" -> ((s, dir) => Relational.mget(s, dir, Seq(3L, 14L, 159L, 420L))),
   )
 
   /** msearch batch: head-term, mid-term, and mixed sub-queries. */
@@ -767,6 +774,10 @@ object SparkEntry {
       judgmentTerms = Seq("join", "window", "vector")),
     "agg_adjacency" -> OracleSql.aggAdjacency,
     "agg_bucket_sort" -> OracleSql.aggBucketSort(330L, 5),
+    "agg_top_metrics" -> OracleSql.aggTopMetrics,
+    "agg_percentile_ranks" -> OracleSql.aggPercentileRanks(Seq(100.0, 250.0)),
+    "agg_histogram_numeric" -> OracleSql.aggHistogramNumeric(50L),
+    "mget" -> OracleSql.mget(Seq(3L, 14L, 159L, 420L)),
   ) ++
     // generated from engine state recorded while the query ran (Verify
     // reads oracleSql AFTER running queries); absent → rows-only, as before

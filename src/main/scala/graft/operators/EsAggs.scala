@@ -205,6 +205,55 @@ object EsAggs {
       .limit(topN)
   }
 
+  /** ES `top_metrics` aggregation: per bucket, metric values from the
+    * single top document under a sort — argmax, not max (the returned
+    * `value` belongs to the latest event, whatever it is). `max_by` is a
+    * mergeable accumulator (one candidate per partial), so this keeps the
+    * same partial+final single-agg shape as `max` — the bounded version of
+    * what `top_hits(size=1)` does with a heap. Sort key is `event_id`
+    * (unique, monotone with ts in this corpus) so ties cannot make the
+    * answer engine-dependent.
+    */
+  def topMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(max_by($"value", $"event_id").as("latest_value"),
+        max($"event_id").as("latest_event_id"))
+      .orderBy($"event_type")
+  }
+
+  /** ES `percentile_ranks`: the inverse of `percentiles` — for each given
+    * value, the percentage of observations at or below it. Exact (one
+    * count(when) per threshold, all mergeable) where ES is TDigest-
+    * approximate; at 100 TB the exact form is still one agg pass.
+    */
+  def percentileRanks(spark: SparkSession, sfDir: String,
+      at: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val cols = at.map(x =>
+      round(count(when($"value" <= x, 1)) * 100.0 / count(lit(1)), 4)
+        .as(s"pr_${x.toLong}"))
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(cols.head, cols.tail: _*)
+      .orderBy($"event_type")
+  }
+
+  /** ES `histogram` aggregation (fixed numeric interval): bucket =
+    * floor(value/interval)·interval, one hash agg on the derived key —
+    * bucket assignment never leaves the scan stage (same plan as
+    * [[rangeAgg]] with computed instead of enumerated bounds).
+    */
+  def histogramNumeric(spark: SparkSession, sfDir: String,
+      interval: Long): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy((floor($"value" / interval) * interval).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"bucket")
+  }
+
   /** The ES date-histogram PIPELINE aggs in one pass: `cumulative_sum`,
     * `derivative`, and `moving_avg` (7-bucket window) over the daily event
     * counts. The window runs over the AGGREGATED histogram — one row per

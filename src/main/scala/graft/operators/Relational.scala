@@ -92,6 +92,18 @@ object Relational {
   /** JSON scalar extraction from the events.props payload (regex form —
     * identical semantics in Spark and DuckDB, no JSON extension needed).
     */
+  /** ES `_mget`: fetch documents by explicit id list. A k-row pruned
+    * metadata scan — the id predicate pushes to parquet row-group stats, so
+    * only groups containing requested ids are read; no index, no shuffle.
+    */
+  def mget(spark: SparkSession, sfDir: String, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   def jsonK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Catalog.readTable(spark, sfDir, "events")

@@ -91,6 +91,28 @@ class EsAggsSpec extends AnyFunSuite {
     assert(got == raw)
   }
 
+  test("top_metrics is argmax not max; percentile_ranks bounded; histogram buckets align") {
+    import spark.implicits._
+    val events = graft.io.Catalog.readTable(spark, sfDir, "events")
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tm = EsAggs.topMetrics(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    tm.foreach { case (et, v, id) =>
+      val latest = events.filter(_._1 == et).maxBy(_._2)
+      assert(id == latest._2 && v == latest._3, et)
+    }
+    val pr = EsAggs.percentileRanks(spark, sfDir, Seq(100.0, 250.0)).collect()
+    pr.foreach { r =>
+      val (p100, p250) = (r.getDouble(1), r.getDouble(2))
+      assert(p100 >= 0.0 && p100 <= p250 && p250 <= 100.0)
+    }
+    val h = EsAggs.histogramNumeric(spark, sfDir, 50L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.map(_._2).sum == events.length)
+    h.foreach { case (b, _) => assert(b % 50 == 0) }
+  }
+
   test("pipeline aggs: cumulative sum ends at total; derivative and moving_avg windows") {
     import spark.implicits._
     val rows = EsAggs.histogramPipeline(spark, sfDir).collect()
