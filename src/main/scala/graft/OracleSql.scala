@@ -1239,8 +1239,12 @@ object OracleSql {
     * probe selection + persisted assignment + re-scoring; k-means training
     * determinism itself is pinned by IvfSpec.
     */
-  def annIvfTopK(probeId: Long, k: Int, candidates: Seq[Long]): String = {
+  def annIvfTopK(probeId: Long, k: Int, candidates: Seq[Long],
+      labelEq: Option[Int] = None): String = {
     val in = candidates.mkString(", ")
+    // a label filter re-checks the predicate on every recorded candidate —
+    // an engine that leaked an unfiltered vector into the set would mismatch
+    val lbl = labelEq.map(x => s" AND label = $x").getOrElse("")
     s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
        |c AS (
        |  SELECT vec_id,
@@ -1251,7 +1255,7 @@ object OracleSql {
        |    list_sum(list_transform(range(1, len(pe) + 1),
        |      i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS nb
        |  FROM embeddings CROSS JOIN p
-       |  WHERE vec_id <> $probeId AND vec_id IN ($in))
+       |  WHERE vec_id <> $probeId AND vec_id IN ($in)$lbl)
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
        |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
   }

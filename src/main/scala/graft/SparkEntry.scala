@@ -416,6 +416,13 @@ object SparkEntry {
       graft.operators.IvfPq.annTopK(s, dir, 0L, K, model, nprobe = 4,
         shortlist = 50, codesPath = codes, record = true)
     }),
+    // filtered IVF ANN: the label predicate INSIDE the probe (candidate =
+    // probed-lists ∩ label stratum; pre-filter, never post-filter)
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val (centroids, lists) = IndexCache.ivf(s, dir)
+      graft.operators.Ivf.annTopKFiltered(s, dir, 0L, K, centroids,
+        nprobe = 4, lists, labelEq = 3, record = true)
+    }),
     "ann_lsh_topk" -> ((s, dir) =>
       Embeddings.annLshTopK(s, dir, 0L, K,
         bucketsPath = Some(IndexCache.lshBucketsPath(s, dir)))),
@@ -783,6 +790,11 @@ object SparkEntry {
     // reads oracleSql AFTER running queries); absent → rows-only, as before
     graft.operators.Ivf.lastOracle.map { case (probeId, k, cands) =>
       "ann_ivf_topk" -> OracleSql.annIvfTopK(probeId, k, cands)
+    } ++
+    // filtered variant: the oracle re-checks the label predicate on every
+    // recorded candidate, then exact-rescoring matches the engine
+    graft.operators.Ivf.lastFilteredOracle.map { case (probeId, k, lbl, cands) =>
+      "ann_ivf_filtered" -> OracleSql.annIvfTopK(probeId, k, cands, Some(lbl))
     } ++
     // IVF-PQ: same candidate-set contract — the refine step's exact cosine
     // over the recorded ADC shortlist is what DuckDB recomputes

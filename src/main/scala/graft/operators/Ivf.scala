@@ -131,6 +131,52 @@ object Ivf {
     * `record` collects the (small: ≈ nprobe/nlist of the corpus) candidate
     * id set for oracle generation — off on the production path.
     */
+  /** Last recorded candidate set of the FILTERED probe (post-predicate) —
+    * the `ann_ivf_filtered` oracle input, same contract as [[lastOracle]].
+    */
+  @volatile var lastFilteredOracle: Option[(Long, Int, Int, Seq[Long])] = None
+
+  /** Filtered IVF ANN (the ES `knn` + `filter` composition on the IVF scale
+    * path): the metadata predicate lands INSIDE the probe — candidates are
+    * the probed lists' vectors that ALSO pass `label = labelEq`, so the
+    * exact re-scoring touches only the filtered intersection (pre-filtering,
+    * never post-filtering a top-k that could starve below k; FAISS selector
+    * masks / Lucene's filtered HNSW make the same choice). Both predicates
+    * sit in scans: `list_id` prunes the persisted assignment table,
+    * `label` prunes the embeddings scan the candidates join against.
+    */
+  def annTopKFiltered(spark: SparkSession, sfDir: String, probeId: Long,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int,
+      listsPath: String, labelEq: Int, record: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val emb = Catalog.readTable(spark, sfDir, "embeddings")
+    val pe = emb.filter($"vec_id" === probeId)
+      .select($"embedding").as[Array[Float]].head()
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) => (dist2(c, pe), i) }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2)
+    val dot = "aggregate(zip_with(embedding, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val n2 = "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val p2 = "aggregate(zip_with(pe, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val filtered = emb
+      .filter($"label" === labelEq && $"vec_id" =!= probeId)
+      .select($"vec_id", $"embedding")
+    val cands = spark.read.parquet(listsPath)
+      .filter($"list_id".isin(probeLists.map(Integer.valueOf): _*))
+      .select($"vec_id")
+      .join(filtered, "vec_id") // predicate ∩ probe — both scan-pruned
+    if (record)
+      lastFilteredOracle = Some((probeId, k, labelEq,
+        cands.select($"vec_id").as[Long].collect().sorted.toIndexedSeq))
+    cands
+      .join(broadcast(emb.filter($"vec_id" === probeId).select($"embedding".as("pe"))))
+      .select($"vec_id",
+        round(expr(dot) / (sqrt(expr(n2)) * sqrt(expr(p2))), 6).as("cos_r6"))
+      .orderBy($"cos_r6".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
   def annTopK(spark: SparkSession, sfDir: String, probeId: Long, k: Int,
       centroids: Array[Array[Double]], nprobe: Int,
       listsPath: String, record: Boolean = false): DataFrame = {

@@ -71,4 +71,43 @@ class IvfSpec extends AnyFunSuite {
     info(f"IVF recall@10 (nlist=8, nprobe=4, near-uniform corpus): $recall%.2f")
     assert(recall > 0.0)
   }
+
+  test("filtered IVF equals exact cosine over probed-lists ∩ label stratum") {
+    import spark.implicits._
+    val (centroids, listsPath) = IndexCache.ivf(spark, sfDir)
+    val emb = Catalog.readTable(spark, sfDir, "embeddings")
+      .select($"vec_id".cast("long"), $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val byId = emb.map(t => t._1 -> t).toMap
+    val lists = spark.read.parquet(listsPath)
+      .as[(Long, Int)].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (p <- Seq(0L, 42L); lbl <- Seq(3, 7)) {
+      val pe = byId(p)._2
+      val nearLists = centroids.zipWithIndex
+        .map { case (c, i) =>
+          var s = 0.0; var j = 0
+          while (j < c.length) { val d = c(j) - pe(j); s += d * d; j += 1 }
+          (s, i)
+        }
+        .sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSet
+      val got = Ivf.annTopKFiltered(spark, sfDir, p, 10, centroids, 4,
+          listsPath, labelEq = lbl)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = emb.toSeq
+        .filter { case (id, _, l) => id != p && l == lbl && nearLists.contains(lists(id)) }
+        .map { case (id, e, _) => (id, math.rint(cos(e, pe) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      assert(got == want, s"probe=$p label=$lbl")
+      assert(got.nonEmpty)
+      got.foreach { case (id, _) => assert(byId(id)._3 == lbl) }
+    }
+  }
 }
