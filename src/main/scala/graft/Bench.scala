@@ -37,6 +37,7 @@ object Bench {
     IndexCache.ivfPq(spark, sfDir)                       // IVF-PQ codes table
     IndexCache.englishIndex(spark, sfDir)                // stop+stem variant
     IndexCache.synonymsIndex(spark, sfDir)               // index-time synonyms
+    IndexCache.edgeNgramIndex(spark, sfDir)              // search_as_you_type grams
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

@@ -116,6 +116,21 @@ object IndexCache {
       })
     }
 
+  /** Search-as-you-type index: `edge_ngram` analysis (grams 2..5) at index
+    * time, `standard` at query time (Analyzer.searchForm), so a typed
+    * prefix scores against the gram postings with the gram field's own
+    * BM25 stats — the ES search_as_you_type shape.
+    */
+  def edgeNgramIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#edge", {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"/tmp/graft-index-$jvmTag/$key/documents_edge"
+        Indexer.buildFromDocs(Catalog.readDocuments(spark, sfDir), root,
+          buckets = Buckets, targetRun = TargetRun, analyzer = "edge_ngram")
+      })
+    }
+
   /** The driver's index-time synonym contraction (Lucene `merge,unify =>
     * join` shape over fixture vocabulary): postings/df/stats reflect the
     * merged group. Shared by the bm25_synonyms_indexed query and its oracle.

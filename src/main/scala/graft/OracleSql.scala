@@ -2034,6 +2034,45 @@ object OracleSql {
        |       count(*) AS n_events
        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** search_as_you_type twin: the corpus token stream expands to edge
+    * n-grams (2..5) before tf/df/dl (dl = gram count, the gram field's own
+    * stats); query terms match the grams as-is (search analyzer standard).
+    */
+  def bm25EdgeNgram(terms: Seq[String], k: Int): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    val min = graft.core.Analyzer.EdgeMin
+    val max = graft.core.Analyzer.EdgeMax
+    s"""WITH grams AS (
+       |  SELECT doc_id, substr(w, 1, i) AS term FROM (
+       |    SELECT doc_id, w, unnest(range($min, least(len(w), $max) + 1)) AS i
+       |    FROM (SELECT doc_id, unnest(${toks("text")}) AS w FROM documents))
+       |), dls AS (
+       |  -- LEFT JOIN keeps zero-gram docs in n_docs/avgdl, as the engine does
+       |  SELECT d.doc_id, coalesce(g.dl, 0) AS dl FROM documents d
+       |  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM grams GROUP BY doc_id) g
+       |    USING (doc_id)
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM grams
+       |  WHERE term IN ${inList(t)} GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS c
+       |  FROM tf
+       |  JOIN dfs USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |)
+       |SELECT doc_id, round(sum(c), 4) AS score_r4
+       |FROM contrib
+       |GROUP BY doc_id
+       |ORDER BY sum(c) DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** _mget twin: id-list fetch. */
   def mget(ids: Seq[Long]): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents

@@ -549,6 +549,13 @@ object SparkEntry {
       val idx = IndexCache.documentsIndex(s, dir)
       TermQueries.boolPrefixTopK(s, idx.paths.root, Seq("window"), "h", K)
     }),
+    // ES search_as_you_type: edge_ngram index analysis (grams 2..5),
+    // standard search analysis — the typed prefix scores against gram
+    // postings with the gram field's own BM25 stats
+    "bm25_sayt" -> ((s, dir) => {
+      val idx = IndexCache.edgeNgramIndex(s, dir)
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("wi", "vec"), K)
+    }),
     // ES simple_query_string: term + quoted-phrase + prefix + must_not
     // clauses in one mini-language string, over the text + positional index
     "bm25_sqs" -> ((s, dir) => {
@@ -752,6 +759,7 @@ object SparkEntry {
     "bm25_boosting" -> OracleSql.boostingTopK(Seq("join", "window"), "stream", 0.3, K),
     "query_regexp" -> OracleSql.queryRegexp("(jo|ha)[a-z]+"),
     "bm25_bool_prefix" -> OracleSql.bm25BoolPrefix(Seq("window"), "h", K),
+    "bm25_sayt" -> OracleSql.bm25EdgeNgram(Seq("wi", "vec"), K),
     "bm25_sqs" -> OracleSql.simpleQueryString(
       """window "join hash" vec* -stream""", K),
     "agg_composite" -> OracleSql.aggComposite(6, Some(("en", "src2"))),

@@ -95,8 +95,29 @@ object Analyzer {
   def analyze(text: String, analyzer: String): Array[String] = analyzer match {
     case "standard" => tokenize(text)
     case "english" => En.analyze(tokenize(text))
+    // ES search_as_you_type index side: each token expands to its leading
+    // edge n-grams (min 2, max 5; tokens shorter than min are dropped).
+    // dl/avgdl count GRAMS — the gram field has its own stats, as in ES.
+    case "edge_ngram" => tokenize(text).flatMap { t =>
+      (EdgeMin to math.min(t.length, EdgeMax)).map(t.substring(0, _))
+    }
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
+
+  /** Edge-ngram bounds (ES search_as_you_type defaults its gram subfields
+    * to 2..3/4; 2..5 covers the corpus's prefix-query range).
+    */
+  val EdgeMin = 2
+  val EdgeMax = 5
+
+  /** Query-side analyzer for an index analyzer — identity except
+    * `edge_ngram`, where ES's own convention applies: search_as_you_type
+    * indexes with the gram analyzer but SEARCHES with `standard` (the
+    * typed prefix is matched against the stored grams as-is; expanding the
+    * query into its own grams would conjunct every shorter prefix).
+    */
+  def searchForm(analyzer: String): String =
+    if (analyzer == "edge_ngram") "standard" else analyzer
 
   /** [[analyze]] + an index-time synonym CONTRACTION map (Lucene
     * `a,b => a` form) applied after the base chain: every token is replaced

@@ -37,7 +37,9 @@ object SearchEngine {
     // index-time synonym map (meta.synonyms): query tokens canonicalize
     // through the SAME map the build applied — index/query analysis parity
     val syn = if (useSynonyms) Catalog.readSynonyms(spark, paths) else Map.empty[String, String]
-    val terms = QueryModel.analyzedTerms(rawTerms, analyzer, syn)
+    // ES search_analyzer convention: identity except edge_ngram -> standard
+    val qAnalyzer = graft.core.Analyzer.searchForm(analyzer)
+    val terms = QueryModel.analyzedTerms(rawTerms, qAnalyzer, syn)
     if (terms.isEmpty) return QueryModel(Array.empty, Array.empty, 0.0, k)
     val stats = Catalog.readCorpusStats(spark, paths)
     val dfByTerm = Catalog.readDictionary(spark, paths)
@@ -46,7 +48,7 @@ object SearchEngine {
       .map(d => d.term -> d.df)
       .toMap
     // build from the RAW terms: boost suffixes must reach the weight parser
-    QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k, analyzer, syn)
+    QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k, qAnalyzer, syn)
   }
 
   /** Postings scan restricted to the given terms (bucket pruning + term
