@@ -1852,6 +1852,31 @@ object OracleSql {
        |SELECT doc_id, count(*) AS n_tokens, round(exp(-avg(lp)), 4) AS ppl_r4
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet tercile-bucket twin: identical LM, rounded values, quantile
+    * interpolation, and CASE boundaries.
+    */
+  val pplBuckets: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), cf AS (
+       |  SELECT term, count(*) AS cf FROM tok GROUP BY term
+       |), tot AS (
+       |  SELECT sum(cf) AS total, count(*) AS v FROM cf
+       |), lp AS (
+       |  SELECT doc_id, ln((cf + 1.0) / (total + v)) AS lp
+       |  FROM tok JOIN cf USING (term) CROSS JOIN tot
+       |), ppl AS (
+       |  SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl_r4 FROM lp GROUP BY doc_id
+       |), th AS (
+       |  SELECT round(quantile_cont(ppl_r4, 1.0/3), 6) AS t1,
+       |         round(quantile_cont(ppl_r4, 2.0/3), 6) AS t2
+       |  FROM ppl
+       |)
+       |SELECT doc_id, ppl_r4,
+       |       CASE WHEN ppl_r4 <= t1 THEN 'head'
+       |            WHEN ppl_r4 <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM ppl CROSS JOIN th ORDER BY doc_id""".stripMargin
+
   /** Domain-mixture sampling twin: same counts → scale → per-domain rate →
     * multiplicative-hash threshold arithmetic, term for term.
     */

@@ -607,6 +607,8 @@ object SparkEntry {
       Embeddings.cosineTopKFiltered(s, dir, 0L, K, labelEq = 3)),
     // CCNet-style unigram-LM perplexity filter (corpus-trained, add-one)
     "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(s, dir)),
+    // CCNet head/middle/tail: perplexity terciles over the same LM
+    "ppl_buckets" -> ((s, dir) => TextAnalysis.pplBuckets(s, dir)),
     // DoReMi-style domain-mixture sampling to target source weights
     "domain_mix" -> ((s, dir) => Hygiene.domainMix(s, dir, DomainTargets)),
     // PII-shaped redaction audit pass over the events JSON payloads
@@ -779,6 +781,7 @@ object SparkEntry {
     "bm25_terms_set" -> OracleSql.termsSet(Seq("hash", "stream", "sort"), K),
     "knn_filtered" -> OracleSql.knnFiltered(0L, K, labelEq = 3),
     "lm_perplexity" -> OracleSql.lmPerplexity,
+    "ppl_buckets" -> OracleSql.pplBuckets,
     "domain_mix" -> OracleSql.domainMix(DomainTargets),
     "redact_patterns" -> OracleSql.redactEvents,
     "agg_weighted_avg" -> OracleSql.aggWeightedAvg,

@@ -93,6 +93,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CCNet's head/middle/tail split: documents bucketed by perplexity
+    * terciles of [[lmPerplexity]] (Wenzek et al. 2020 §4.4 — head = closest
+    * to the LM, the slice CCNet keeps by default). Thresholds interpolate
+    * over the ROUNDED per-doc values so both engines bucket identical
+    * numbers; `percentile` is exact here (one driver-sized value list, same
+    * contract as percentiles_value) — at 100 TB the `approx_percentile`
+    * sketch with fixed accuracy is the documented swap, changing thresholds
+    * by a bounded rank error, not semantics.
+    */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ppl = lmPerplexity(spark, sfDir).select($"doc_id", $"ppl_r4")
+    val th = ppl.agg(
+      round(expr("percentile(ppl_r4, CAST(1.0/3 AS DOUBLE))"), 6).as("t1"),
+      round(expr("percentile(ppl_r4, CAST(2.0/3 AS DOUBLE))"), 6).as("t2"))
+    ppl.crossJoin(broadcast(th))
+      .select($"doc_id", $"ppl_r4",
+        when($"ppl_r4" <= $"t1", "head")
+          .when($"ppl_r4" <= $"t2", "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting): token
     * 3-gram md5 hashes, per-position window minimum (w = 4), distinct mins
     * summarized per doc. String-min over md5 hex — exact in both engines.

@@ -40,6 +40,25 @@ class PipelineR5Spec extends AnyFunSuite {
     assert(got.forall { case (_, _, p) => p > 1.0 && p <= (total + v) / 2.0 })
   }
 
+  test("ppl_buckets: terciles are balanced and monotone in perplexity") {
+    val rows = TextAnalysis.pplBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = rows.length
+    assert(n > 0)
+    val byBucket = rows.groupBy(_._3).map { case (b, xs) => b -> xs.length }
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // terciles: each bucket near n/3 (ties can shift the thirds a little)
+    byBucket.values.foreach(c =>
+      assert(c >= n / 3 - n / 10 && c <= n / 3 + n / 10, byBucket))
+    // monotone: max ppl in head <= min in middle <= ... (weak: <= via sort)
+    def range(b: String) = {
+      val v = rows.filter(_._3 == b).map(_._2)
+      (v.min, v.max)
+    }
+    assert(range("head")._2 <= range("middle")._1)
+    assert(range("middle")._2 <= range("tail")._1)
+  }
+
   test("domain_mix: argmin domain kept whole, others down-sampled to target ratio") {
     import spark.implicits._
     val targets = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2)
