@@ -85,8 +85,24 @@ object Fs {
     if (!fs.rename(new Path(stagingDir), dst))
       throw new java.io.IOException(s"rename $stagingDir -> $dst failed")
     val tmp = new Path(s"$base.ptr.tmp")
-    val out = fs.create(tmp, true)
+    // Write the pointer through the RAW filesystem on checksummed local FS:
+    // the local FileContext is a ChecksumFs whose rename moves the data
+    // file and its .crc sidecar in TWO renames — a reader between them
+    // pairs new data with the old checksum and throws ChecksumException
+    // (caught live by StreamingSpec's concurrent-swap test). With no
+    // sidecar ever written, ChecksumFileSystem.open falls back to an
+    // unverified read and the single POSIX rename stays the atomicity
+    // boundary; HDFS checksums are server-side and unaffected.
+    val rawFs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    val out = rawFs.create(tmp, true)
     try out.write(s"_v$n".getBytes("UTF-8")) finally out.close()
+    // stale sidecars from earlier checksummed writers would re-arm the race
+    val ptrPath = new Path(s"$base.ptr")
+    rawFs.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+    rawFs.delete(new Path(ptrPath.getParent, s".${ptrPath.getName}.crc"), false)
     val qtmp = fs.makeQualified(tmp)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(qtmp.toUri, conf())
     fc.rename(qtmp, fs.makeQualified(new Path(s"$base.ptr")),

@@ -196,6 +196,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"closed windows should cover all but the last day")
   }
 
+  test("flatMapGroupsWithState sessionizer matches a local gap-fold, incl. timeouts") {
+    import spark.implicits._
+    val base = s"/tmp/graft-stream-fmgws-${System.nanoTime()}"
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val events = Catalog.readTable(spark, "/root/testdata/sf0.001", "events")
+    events.coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir)
+
+    val stream = StreamingAnalytics.sessionizeWithState(spark, inDir, events.schema)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(s"fmgws_${System.nanoTime()}").start()
+    q.processAllAvailable()
+    val got = spark.sql(s"SELECT user_id, start_ms, end_ms, n_events FROM ${q.name}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+
+    // local fold: per user, sorted events split at >30-min gaps
+    val gapMs = 1800 * 1000L
+    val byUser = events
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    val maxTs = byUser.values.map(_.max).max
+    val watermarkMs = maxTs - 3600 * 1000L
+    val expected = byUser.flatMap { case (u, ts) =>
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (Nil, t) => (t, t, 1L) :: Nil
+        case ((s, e, n) :: rest, t) if t - e > gapMs => (t, t, 1L) :: (s, e, n) :: rest
+        case ((s, e, n) :: rest, t) => (s, math.max(e, t), n + 1) :: rest
+      }.reverse
+      // closed in-batch (all but last) + trailing sessions whose timeout
+      // (end + gap) the final watermark passed
+      val inBatch = sessions.dropRight(1)
+      val timedOut = sessions.lastOption.filter(_._2 + gapMs < watermarkMs)
+      (inBatch ++ timedOut).map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming session windows produce the relational sessionization totals") {
     import spark.implicits._
     val base = s"/tmp/graft-stream-sess-${System.nanoTime()}"
