@@ -109,8 +109,11 @@ object OracleSql {
     * document metadata, with `finalExpr` (over `score` and `d.<field>`)
     * ranked and rounded exactly like the engine.
     */
-  private def functionScored(terms: Seq[String], k: Int,
-      finalExpr: String): String = {
+  /** The shared per-doc BM25 CTE prefix: `WITH … scores(doc_id, score)` —
+    * the sum over term contributions for every doc matching any query term.
+    * Reused by function_score and the parent-join builders.
+    */
+  private def scoresCtePrefix(terms: Seq[String]): String = {
     val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
     s"""WITH dls AS (
        |  SELECT doc_id, len(${toks("text")}) AS dl FROM documents
@@ -133,11 +136,15 @@ object OracleSql {
        |  CROSS JOIN stats
        |), scores AS (
        |  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private def functionScored(terms: Seq[String], k: Int,
+      finalExpr: String): String =
+    s"""${scoresCtePrefix(terms)}
        |SELECT s.doc_id, round($finalExpr, 4) AS fscore_r4
        |FROM scores s JOIN documents d USING (doc_id)
        |ORDER BY $finalExpr DESC, s.doc_id ASC LIMIT $k""".stripMargin
-  }
 
   /** ES field_value_factor (modifier applied AFTER factor, as ES). */
   def bm25Fvf(terms: Seq[String], k: Int, field: String, factor: Double,
@@ -2102,4 +2109,193 @@ object OracleSql {
   def mget(ids: Seq[Long]): String =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id IN (${ids.mkString(", ")}) ORDER BY doc_id""".stripMargin
+
+  // --- ES parent-join family (parent key = doc_id // groupSize) ------------
+
+  /** has_child score_mode=max: parents ranked by their best-scoring child. */
+  def hasChildMax(terms: Seq[String], k: Int, groupSize: Int): String =
+    s"""${scoresCtePrefix(terms)}
+       |SELECT doc_id // $groupSize AS parent, round(max(score), 4) AS score_r4
+       |FROM scores GROUP BY 1
+       |ORDER BY max(score) DESC, parent ASC LIMIT $k""".stripMargin
+
+  /** has_child score_mode=sum with min_children over MATCHING children. */
+  def hasChildSum(terms: Seq[String], k: Int, groupSize: Int,
+      minChildren: Int): String =
+    s"""${scoresCtePrefix(terms)}
+       |SELECT doc_id // $groupSize AS parent, round(sum(score), 4) AS score_r4,
+       |       count(*) AS n_children
+       |FROM scores GROUP BY 1
+       |HAVING count(*) >= $minChildren
+       |ORDER BY sum(score) DESC, parent ASC LIMIT $k""".stripMargin
+
+  /** has_parent (score: false): children of groups containing a doc that
+    * matches ALL terms.
+    */
+  def hasParent(parentTerms: Seq[String], groupSize: Int): String = {
+    val t = parentTerms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), matching AS (
+       |  SELECT doc_id FROM tok WHERE term IN ${inList(t)}
+       |  GROUP BY doc_id HAVING count(DISTINCT term) = ${t.size}
+       |), parents AS (
+       |  SELECT DISTINCT doc_id // $groupSize AS parent FROM matching
+       |)
+       |SELECT d.doc_id, d.doc_id // $groupSize AS parent
+       |FROM documents d JOIN parents p ON d.doc_id // $groupSize = p.parent
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** has_child top parents with inner_hits: each top parent's top-n matching
+    * children, ranked (score DESC, doc_id ASC) within the parent.
+    */
+  def innerHits(terms: Seq[String], kParents: Int, nPer: Int,
+      groupSize: Int): String =
+    s"""${scoresCtePrefix(terms)},
+       |parents AS (
+       |  SELECT doc_id // $groupSize AS parent, max(score) AS pscore
+       |  FROM scores GROUP BY 1
+       |  ORDER BY max(score) DESC, parent ASC LIMIT $kParents
+       |), ranked AS (
+       |  SELECT s.doc_id // $groupSize AS parent, p.pscore, s.doc_id, s.score,
+       |         row_number() OVER (PARTITION BY s.doc_id // $groupSize
+       |                            ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+       |  FROM scores s JOIN parents p ON s.doc_id // $groupSize = p.parent
+       |)
+       |SELECT parent, round(pscore, 4) AS parent_score_r4, doc_id,
+       |       round(score, 4) AS score_r4, rnk
+       |FROM ranked WHERE rnk <= $nPer
+       |ORDER BY parent_score_r4 DESC, parent ASC, rnk ASC""".stripMargin
+
+  // --- _termvectors / _count / distance_feature ----------------------------
+
+  /** _termvectors with term_statistics: one doc's tf + corpus df/ttf. */
+  def termVectors(docId: Long): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT term, count(*) AS tf FROM tok WHERE doc_id = $docId GROUP BY term
+       |), stats AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+       |  FROM tok GROUP BY term
+       |)
+       |SELECT tf.term, tf.tf, stats.df, stats.ttf
+       |FROM tf JOIN stats USING (term) ORDER BY term""".stripMargin
+
+  /** _count of a term conjunction. */
+  def countMatching(terms: Seq[String]): String = {
+    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+       |)
+       |SELECT count(*) AS n FROM (
+       |  SELECT doc_id FROM tok WHERE term IN ${inList(t)}
+       |  GROUP BY doc_id HAVING count(DISTINCT term) = ${t.size}
+       |)""".stripMargin
+  }
+
+  /** distance_feature: additive `boost * pivot / (pivot + |x - origin|)`. */
+  def distanceFeature(terms: Seq[String], k: Int, field: String,
+      origin: Double, pivot: Double, boost: Double): String =
+    functionScored(terms, k,
+      s"s.score + $boost * ($pivot / ($pivot + abs(CAST(d.$field AS DOUBLE) - $origin)))")
+
+  // --- remaining agg shapes ------------------------------------------------
+
+  /** auto_date_histogram: the interval pick mirrors the engine's pinned
+    * epoch-second ladder (hour → day → month), then one date_trunc group.
+    */
+  def autoDateHistogram(targetBuckets: Int): String =
+    s"""WITH span AS (
+       |  SELECT CAST(epoch(min(ts)) AS BIGINT) AS lo,
+       |         CAST(epoch(max(ts)) AS BIGINT) AS hi FROM events
+       |), iv AS (
+       |  SELECT CASE WHEN (hi - lo) // 3600 + 1 <= $targetBuckets THEN 'hour'
+       |              WHEN (hi - lo) // 86400 + 1 <= $targetBuckets THEN 'day'
+       |              ELSE 'month' END AS unit FROM span
+       |)
+       |SELECT CASE unit WHEN 'hour' THEN date_trunc('hour', ts)
+       |                 WHEN 'day' THEN date_trunc('day', ts)
+       |                 ELSE date_trunc('month', ts) END AS bucket,
+       |       count(*) AS n_events, unit
+       |FROM events CROSS JOIN iv
+       |GROUP BY 1, unit ORDER BY bucket""".stripMargin
+
+  /** date_range buckets: [from, to) with open unbounded ends. */
+  def dateRange(edges: Seq[String]): String = {
+    val sorted = edges.sorted
+    val bounds = (None +: sorted.map(Option(_))) :+ None
+    val cases = bounds.sliding(2).map {
+      case Seq(from, to) =>
+        val cond = Seq(
+          from.map(f => s"ts >= TIMESTAMP '$f'"),
+          to.map(t => s"ts < TIMESTAMP '$t'")).flatten match {
+          case Nil => "TRUE"
+          case cs => cs.mkString(" AND ")
+        }
+        val label = s"${from.getOrElse("*")}..${to.getOrElse("*")}"
+        s"WHEN $cond THEN '$label'"
+    }.mkString("\n         ")
+    s"""SELECT CASE $cases END AS bucket,
+       |       count(*) AS n_events, round(sum(value), 4) AS sum_value_r4
+       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** boxplot + median_absolute_deviation over events.value (exact
+    * linear-interpolation quantiles — DuckDB quantile_cont = Spark
+    * percentile).
+    */
+  def boxplotMad: String =
+    s"""WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events)
+       |SELECT round(min(value), 4) AS min_v,
+       |       round(quantile_cont(value, 0.25), 4) AS q1,
+       |       round(quantile_cont(value, 0.5), 4) AS q2,
+       |       round(quantile_cont(value, 0.75), 4) AS q3,
+       |       round(max(value), 4) AS max_v,
+       |       round(quantile_cont(abs(value - med.m), 0.5), 4) AS mad
+       |FROM events CROSS JOIN med GROUP BY med.m""".stripMargin
+
+  /** diversified_sampler: first maxPerKey docs per source, then the
+    * sub-agg.
+    */
+  def diversifiedSampler(maxPerKey: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT source, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars_r4
+       |FROM ranked WHERE rn <= $maxPerKey
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** SemDeDup oracle from the engine-recorded cluster assignment: exact
+    * cosine re-verification of every within-cluster (lower-id, higher-id)
+    * pair, kept_by = the LOWEST mate clearing tau. The assignment itself is
+    * the only trusted engine state (k-means determinism is IvfSpec-pinned —
+    * the same contract as ann_ivf_topk's candidate set).
+    */
+  def semanticDups(assignment: Seq[(Long, Int)], tau: Double): String = {
+    // CAST: VALUES would infer INTEGER for small ids — the engine's vec_id
+    // is int64 and the driver compare is schema-strict
+    val values = assignment
+      .map { case (id, c) => s"(CAST($id AS BIGINT), $c)" }.mkString(", ")
+    s"""WITH asg(vec_id, list_id) AS (VALUES $values),
+       |pairs AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))) AS na,
+       |    list_sum(list_transform(range(1, len(eb.embedding) + 1),
+       |      i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS nb
+       |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |)
+       |SELECT dup_id AS vec_id, min(keep_id) AS kept_by
+       |FROM pairs
+       |WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= $tau
+       |GROUP BY dup_id ORDER BY vec_id""".stripMargin
+  }
 }

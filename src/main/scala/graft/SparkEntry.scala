@@ -639,7 +639,65 @@ object SparkEntry {
     "agg_histogram_numeric" -> ((s, dir) => EsAggs.histogramNumeric(s, dir, 50L)),
     // ES _mget: explicit id-list document fetch (pruned metadata scan)
     "mget" -> ((s, dir) => Relational.mget(s, dir, Seq(3L, 14L, 159L, 420L))),
+    // --- ES parent-join field (has_child / has_parent / inner_hits) over a
+    // derived join key: parent = doc_id DIV 10 (an application join field)
+    "has_child_max" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.ParentChild.hasChildMax(s, idx.paths.root, parentMap(s, dir),
+        Seq("join", "window", "vector"), K)
+    }),
+    "has_child_sum" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.ParentChild.hasChildSum(s, idx.paths.root, parentMap(s, dir),
+        Seq("join", "window", "vector"), K, minChildren = 2)
+    }),
+    "has_parent" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.ParentChild.hasParent(s, idx.paths.root, parentMap(s, dir),
+        Seq("dup"))
+    }),
+    "inner_hits" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.ParentChild.innerHits(s, idx.paths.root, parentMap(s, dir),
+        Seq("join", "window", "vector"), kParents = 5, nPer = 3)
+    }),
+    // ES _termvectors (term_statistics: true) and _count
+    "termvectors" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.TermQueries.termVectors(s, idx.paths.root, dir, 7L)
+    }),
+    "count_query" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.TermQueries.countMatching(s, idx.paths.root, Seq("join", "hash"))
+    }),
+    // ES distance_feature: additive hyperbolic recency/proximity boost
+    "bm25_distance_feature" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      FunctionScore.distanceFeature(s, idx.paths.root, dir,
+        Seq("join", "window", "vector"), K,
+        field = "n_chars", origin = 300.0, pivot = 50.0, boost = 1.5)
+    }),
+    // remaining ES agg shapes: auto_date_histogram / date_range /
+    // boxplot+mad / diversified_sampler
+    "agg_auto_date_histogram" -> ((s, dir) => EsAggs.autoDateHistogram(s, dir, 40)),
+    "agg_date_range" -> ((s, dir) => EsAggs.dateRange(s, dir,
+      Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00"))),
+    "agg_boxplot_mad" -> ((s, dir) => EsAggs.boxplotMad(s, dir)),
+    "agg_diversified_sampler" -> ((s, dir) => EsAggs.diversifiedSampler(s, dir, 20)),
+    // SemDeDup semantic near-dup pruning (cluster-bounded, recorded-
+    // assignment oracle — the ann_ivf pattern)
+    "dedup_semantic" -> ((s, dir) =>
+      graft.operators.SemDedup.semanticDups(s, dir, tau = 0.4, nClusters = 8,
+        record = true)),
   )
+
+  /** The derived parent join key for the parent-child queries: groups of 10
+    * consecutive docIDs (a stand-in for any application parent field; the
+    * transcript corpus uses its real conv_id via [[graft.search.Conversations]]).
+    */
+  private def parentMap(s: SparkSession, dir: String): DataFrame =
+    Catalog.readTable(s, dir, "documents")
+      .selectExpr("doc_id", "doc_id DIV 10 AS parent")
 
   /** msearch batch: head-term, mid-term, and mixed sub-queries. */
   private val MSearchQueries: Seq[(String, Seq[String])] = Seq(
@@ -796,7 +854,24 @@ object SparkEntry {
     "agg_percentile_ranks" -> OracleSql.aggPercentileRanks(Seq(100.0, 250.0)),
     "agg_histogram_numeric" -> OracleSql.aggHistogramNumeric(50L),
     "mget" -> OracleSql.mget(Seq(3L, 14L, 159L, 420L)),
+    "has_child_max" -> OracleSql.hasChildMax(Seq("join", "window", "vector"), K, 10),
+    "has_child_sum" -> OracleSql.hasChildSum(Seq("join", "window", "vector"), K, 10, 2),
+    "has_parent" -> OracleSql.hasParent(Seq("dup"), 10),
+    "inner_hits" -> OracleSql.innerHits(Seq("join", "window", "vector"), 5, 3, 10),
+    "termvectors" -> OracleSql.termVectors(7L),
+    "count_query" -> OracleSql.countMatching(Seq("join", "hash")),
+    "bm25_distance_feature" -> OracleSql.distanceFeature(
+      Seq("join", "window", "vector"), K, "n_chars", 300.0, 50.0, 1.5),
+    "agg_auto_date_histogram" -> OracleSql.autoDateHistogram(40),
+    "agg_date_range" -> OracleSql.dateRange(
+      Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")),
+    "agg_boxplot_mad" -> OracleSql.boxplotMad,
+    "agg_diversified_sampler" -> OracleSql.diversifiedSampler(20),
   ) ++
+    // SemDeDup: generated from the engine-recorded cluster assignment
+    graft.operators.SemDedup.lastOracle.map { case (asg, tau) =>
+      "dedup_semantic" -> OracleSql.semanticDups(asg, tau)
+    } ++
     // generated from engine state recorded while the query ran (Verify
     // reads oracleSql AFTER running queries); absent → rows-only, as before
     graft.operators.Ivf.lastOracle.map { case (probeId, k, cands) =>

@@ -276,4 +276,109 @@ object EsAggs {
         round(avg($"n_events").over(w.rowsBetween(-6, Window.currentRow)), 4))
       .orderBy($"day")
   }
+
+  /** ES `auto_date_histogram`: the engine picks the calendar interval so the
+    * bucket count stays ≤ `targetBuckets`. The ladder here is
+    * hour → day → month (the ES rounding ladder restricted to the units
+    * whose `date_trunc` semantics are engine-portable); the chosen unit is
+    * returned as a column, as ES returns `interval` in the response.
+    *
+    * The pick needs only (min ts, max ts) — a 2-value aggregate collected to
+    * the driver (constant size at any corpus scale), then ONE hash
+    * aggregation on the truncated timestamp. The span formula is pinned to
+    * epoch-second arithmetic so the DuckDB twin computes the identical
+    * choice.
+    */
+  def autoDateHistogram(spark: SparkSession, sfDir: String,
+      targetBuckets: Int = 20): DataFrame = {
+    import spark.implicits._
+    val events = Catalog.readTable(spark, sfDir, "events")
+    val r = events.agg(
+      min(unix_timestamp($"ts")).as("lo"), max(unix_timestamp($"ts")).as("hi")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val unit =
+      if ((hi - lo) / 3600L + 1L <= targetBuckets) "hour"
+      else if ((hi - lo) / 86400L + 1L <= targetBuckets) "day"
+      else "month"
+    events
+      .groupBy(date_trunc(unit, $"ts").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("unit", lit(unit))
+      .orderBy($"bucket")
+  }
+
+  /** ES `date_range` aggregation: explicit [from, to) buckets over `ts`
+    * (unbounded ends open, ES's contract), each with a doc count and a
+    * metric. One CASE-keyed hash aggregation — the bucket expression is
+    * codegen'd into the scan, no join, no window.
+    */
+  def dateRange(spark: SparkSession, sfDir: String,
+      edges: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(edges.nonEmpty)
+    val sorted = edges.sorted
+    val bounds = (None +: sorted.map(Option(_))) :+ None
+    val labels = bounds.sliding(2).map {
+      case Seq(from, to) => (from, to,
+        s"${from.getOrElse("*")}..${to.getOrElse("*")}")
+    }.toSeq
+    val bucket = labels.foldRight(lit(null).cast("string")) {
+      case ((from, to, label), acc) =>
+        val cond = from.map(f => $"ts" >= to_timestamp(lit(f))).getOrElse(lit(true)) &&
+          to.map(t => $"ts" < to_timestamp(lit(t))).getOrElse(lit(true))
+        when(cond, lit(label)).otherwise(acc)
+    }
+    Catalog.readTable(spark, sfDir, "events")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value_r4"))
+      .orderBy($"bucket")
+  }
+
+  /** ES `boxplot` + `median_absolute_deviation` over `events.value`: exact
+    * five-number summary (linear-interpolation percentiles, the
+    * `quantile_cont` contract DuckDB shares) and MAD = median(|x − median|).
+    *
+    * Exact percentiles are a sort-based aggregate; ES's own boxplot/MAD use
+    * TDigest sketches BECAUSE exact medians don't scale — at 100 TB the
+    * sketch (`percentile_approx`) is the right call and this exact form is
+    * the correctness oracle for it, the same twin-pair contract as
+    * `bm25_topk_brute` vs WAND. MAD needs two passes by definition (the
+    * inner median first); the 1-row cross join broadcasts it.
+    */
+  def boxplotMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Catalog.readTable(spark, sfDir, "events")
+    val box = events.agg(
+      round(min($"value"), 4).as("min_v"),
+      round(expr("percentile(value, 0.25)"), 4).as("q1"),
+      round(expr("percentile(value, 0.5)"), 4).as("q2"),
+      round(expr("percentile(value, 0.75)"), 4).as("q3"),
+      round(max($"value"), 4).as("max_v"))
+    val med = events.agg(expr("percentile(value, 0.5)").as("m"))
+    val mad = events.crossJoin(broadcast(med))
+      .agg(round(expr("percentile(abs(value - m), 0.5)"), 4).as("mad"))
+    box.crossJoin(mad)
+  }
+
+  /** ES `diversified_sampler`: a deterministic per-key sample —
+    * `max_docs_per_value` docs per `source` (first N by doc_id, the
+    * reproducible stand-in for ES's shard-order sample) — feeding a
+    * sub-aggregation (avg n_chars per source). The rank is computed per
+    * source partition (bounded window: partitioned, never global), and the
+    * sub-agg runs over ≤ keys·N rows.
+    */
+  def diversifiedSampler(spark: SparkSession, sfDir: String,
+      maxPerKey: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Catalog.readTable(spark, sfDir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= maxPerKey)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg($"n_chars"), 4).as("avg_chars_r4"))
+      .orderBy($"source")
+  }
 }

@@ -135,6 +135,35 @@ object FunctionScore {
       .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
   }
 
+  /** ES `distance_feature` query: a bool `should` clause contributing
+    * `boost · pivot / (pivot + |value − origin|)` per doc — full boost at
+    * the origin, half at `pivot` away, decaying hyperbolically (the shape
+    * ES uses for date/geo recency boosts; a date field decays the same way
+    * on its epoch value). Differs from the `gauss`/`exp` decay functions in
+    * kernel and composition: distance_feature is ADDITIVE (a should clause),
+    * decay functions default to multiplicative function_score.
+    *
+    * Same exhaustive-pruned plan family as [[rankFeature]]: postings of the
+    * query terms only, a 2-column metadata join, codegen'd arithmetic,
+    * TakeOrdered — no corpus scan, no window.
+    */
+  def distanceFeature(spark: SparkSession, root: String, sfDir: String,
+      rawTerms: Seq[String], k: Int, field: String, origin: Double,
+      pivot: Double, boost: Double): DataFrame = {
+    import spark.implicits._
+    require(pivot > 0.0, "distance_feature pivot must be positive, as ES")
+    val scored = SearchEngine.scoreAllDocs(spark, root, rawTerms)
+    val meta = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", col(field))
+    val dist = abs(col(field).cast("double") - lit(origin))
+    val contrib = lit(boost) * (lit(pivot) / (lit(pivot) + dist))
+    scored.join(meta, "doc_id")
+      .select($"doc_id", ($"score" + contrib).as("fscore"))
+      .orderBy($"fscore".desc, $"doc_id".asc)
+      .limit(k)
+      .select($"doc_id", round($"fscore", 4).as("fscore_r4"))
+  }
+
   /** ES `boosting` query: positive-query score, demoted by `negativeBoost`
     * for docs matching the negative term (matching docs stay in the result,
     * unlike `must_not`). Same exhaustive-pruned family as the rest of this

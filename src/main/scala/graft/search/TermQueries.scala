@@ -189,4 +189,38 @@ object TermQueries {
       .collect().map(_.getString(0)).toSeq
     docsOfAny(spark, root, expanded)
   }
+
+  /** ES `_termvectors` API: one document's term vector — per-term tf in the
+    * doc plus corpus-wide df and total term frequency (ES `term_statistics:
+    * true`). The doc's tokens come from a single-row pruned scan of the
+    * corpus (doc_id filter pushed to parquet); df/ttf come from the index
+    * DICTIONARY (one tiny bucketed table), never from re-scanning the
+    * corpus. The per-doc tf list is a few dozen rows, broadcast against the
+    * dictionary join.
+    */
+  def termVectors(spark: SparkSession, root: String, sfDir: String,
+      docId: Long): DataFrame = {
+    import spark.implicits._
+    val tf = Catalog.readTable(spark, sfDir, "documents")
+      .filter($"doc_id" === docId)
+      .select(explode(graft.core.Analyzer.tokensCol($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("tf"))
+    val dict = Catalog.readDictionary(spark, IndexPaths(root))
+      .toDF().select($"term", $"df", $"cf".as("ttf"))
+    broadcast(tf).join(dict, "term")
+      .select($"term", $"tf", $"df", $"ttf")
+      .orderBy($"term")
+  }
+
+  /** ES `_count` API: the number of documents matching a bool query (here a
+    * term conjunction) — postings-only semi-join chain, one count, no
+    * scoring, no text scan.
+    */
+  def countMatching(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val n = Booleans.and(spark, root, terms).count()
+    Seq(n).toDF("n")
+  }
 }

@@ -127,4 +127,40 @@ class EsAggsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("mavg7_r4") - want) < 1e-9)
     }
   }
+
+  test("auto_date_histogram picks the coarsest unit fitting the target") {
+    // the sf0.001 events span ~30 days: 40-bucket target → day; a huge
+    // target → hour; a 5-bucket target → month
+    val day = EsAggs.autoDateHistogram(spark, sfDir, 40).collect()
+    assert(day.forall(_.getAs[String]("unit") == "day") && day.length <= 40)
+    val hour = EsAggs.autoDateHistogram(spark, sfDir, 100000).collect()
+    assert(hour.forall(_.getAs[String]("unit") == "hour") && hour.length > day.length)
+    val month = EsAggs.autoDateHistogram(spark, sfDir, 5).collect()
+    assert(month.forall(_.getAs[String]("unit") == "month") && month.length <= 5)
+    assert(day.map(_.getAs[Long]("n_events")).sum ==
+      month.map(_.getAs[Long]("n_events")).sum)
+  }
+
+  test("date_range buckets partition all events; open ends unbounded") {
+    val rows = EsAggs.dateRange(spark, sfDir,
+      Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")).collect()
+    assert(rows.length == 3)
+    val total = EsAggs.autoDateHistogram(spark, sfDir, 5)
+      .collect().map(_.getAs[Long]("n_events")).sum
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
+
+  test("boxplot quartiles are ordered; MAD bounded by the range") {
+    val r = EsAggs.boxplotMad(spark, sfDir).collect().head
+    val Seq(mn, q1, q2, q3, mx, mad) = Seq("min_v", "q1", "q2", "q3", "max_v", "mad")
+      .map(r.getAs[Double])
+    assert(mn <= q1 && q1 <= q2 && q2 <= q3 && q3 <= mx)
+    assert(mad >= 0 && mad <= (mx - mn))
+  }
+
+  test("diversified_sampler caps per-key contribution") {
+    val rows = EsAggs.diversifiedSampler(spark, sfDir, 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_sampled") <= 20))
+  }
 }

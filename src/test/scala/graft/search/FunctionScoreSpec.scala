@@ -89,4 +89,21 @@ class FunctionScoreSpec extends AnyFunSuite {
       q, 10, factor = 0.01, modifier = "sqrt")).map(_._1)
     assert(plain != fvf, "sqrt(0.01*n_chars) should reorder the top-10")
   }
+
+  test("distance_feature: full boost at origin, half at pivot, additive") {
+    val idx = IndexCache.documentsIndex(spark, sfDir)
+    val got = rows(FunctionScore.distanceFeature(spark, idx.paths.root, sfDir,
+      q, 10, field = "n_chars", origin = 300.0, pivot = 50.0, boost = 1.5))
+    val base = SearchEngine.scoreAllDocs(spark, idx.paths.root, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val nchars = graft.io.Catalog.readTable(spark, sfDir, "documents")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toMap
+    got.foreach { case (d, s) =>
+      val contrib = 1.5 * (50.0 / (50.0 + math.abs(nchars(d) - 300.0)))
+      assert(contrib <= 1.5 + 1e-12)
+      val want = math.rint((base(d) + contrib) * 1e4) / 1e4
+      assert(math.abs(s - want) < 2e-4, s"doc $d")
+    }
+    assert(got.nonEmpty)
+  }
 }

@@ -66,4 +66,30 @@ class TermQueriesSpec extends AnyFunSuite {
     val capped = TermQueries.prefix(spark, idx.paths.root, "s", maxExpansions = 1)
     assert(ids(capped) == ids(Booleans.or(spark, idx.paths.root, Seq(all.head))))
   }
+
+  test("_termvectors matches a local tokenize of the doc + dictionary stats") {
+    import spark.implicits._
+    val docId = 7L
+    val got = TermQueries.termVectors(spark, idx.paths.root, sfDir, docId)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val text = Catalog.readTable(spark, sfDir, "documents")
+      .filter($"doc_id" === docId).select($"text").head().getString(0)
+    val tf = graft.core.Analyzer.tokenize(text).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val dict = Catalog.readDictionary(spark, idx.paths)
+      .collect().map(e => e.term -> (e.df, e.cf)).toMap
+    val want = tf.toSeq.sortBy(_._1).map { case (t, f) =>
+      (t, f, dict(t)._1, dict(t)._2)
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("_count equals the conjunction's cardinality") {
+    val n = TermQueries.countMatching(spark, idx.paths.root, Seq("join", "hash"))
+      .head().getLong(0)
+    assert(n == Booleans.and(spark, idx.paths.root, Seq("join", "hash")).count())
+    assert(n > 0)
+  }
 }
