@@ -169,4 +169,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "scoring must be pure Column DSL")
   }
+
+  test("has_child rollup partial-aggregates; top-k parents is TakeOrdered") {
+    import org.apache.spark.sql.functions.expr
+    val map = io.Catalog.readTable(spark, sfDir, "documents")
+      .selectExpr("doc_id", "doc_id DIV 10 AS parent")
+    val p = plan(graft.search.ParentChild.hasChildMax(
+      spark, idx.paths.root, map, Seq("join", "window"), 10))
+    assert(p.contains("HashAggregate") && p.toLowerCase.contains("partial"),
+      s"parent rollup must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k parents must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("inner_hits has no WindowExec: per-parent cut is a bounded group pass") {
+    val map = io.Catalog.readTable(spark, sfDir, "documents")
+      .selectExpr("doc_id", "doc_id DIV 10 AS parent")
+    val p = plan(graft.search.ParentChild.innerHits(
+      spark, idx.paths.root, map, Seq("join", "window"), 5, 3))
+    assert(!p.contains("Window"),
+      s"inner_hits must not rank via WindowExec:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the k-row parent set must broadcast back:\n$p")
+  }
+
+  test("auto_date_histogram and date_range are single hash aggregations") {
+    val p1 = plan(operators.EsAggs.autoDateHistogram(spark, sfDir, 40))
+    assert(p1.contains("HashAggregate") && p1.toLowerCase.contains("partial"),
+      s"auto_date_histogram must be one partial+final hash agg:\n$p1")
+    assert(!p1.contains("Window") && !p1.toLowerCase.contains("join"),
+      s"no window/join in auto_date_histogram:\n$p1")
+    val p2 = plan(operators.EsAggs.dateRange(spark, sfDir,
+      Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")))
+    assert(p2.contains("HashAggregate") && p2.toLowerCase.contains("partial"),
+      s"date_range must be one partial+final hash agg:\n$p2")
+  }
+
+  test("termvectors: one-doc scan pushes the doc_id filter; tf list broadcasts") {
+    val df = graft.search.TermQueries.termVectors(spark, idx.paths.root, sfDir, 7L)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]") ||
+      p.contains("EqualTo(doc_id,7)"),
+      s"doc_id filter must reach the parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-doc tf list must broadcast against the dictionary:\n$p")
+  }
 }
