@@ -43,11 +43,20 @@ if [ -n "${GATE_MIN_BW:-}" ]; then
     tries=$((tries - 1))
   done
 fi
-R8=$(run_w 8 0-7)
-R32=$(run_w 32 0-31)
+# ORDER=32first runs the wide leg first. Alternate across pairs: with the
+# narrow leg always first, a window whose bandwidth decays DURING the pair
+# (this host does that) systematically hands the wide leg the worse half —
+# an anti-32 bias the per-pair before/after probes can see but not remove.
+if [ "${ORDER:-8first}" = "32first" ]; then
+  R32=$(run_w 32 0-31)
+  R8=$(run_w 8 0-7)
+else
+  R8=$(run_w 8 0-7)
+  R32=$(run_w 32 0-31)
+fi
 BW1=$(memgbs)
 T8=${R8%%|*}; W8=${R8#*|}
 T32=${R32%%|*}; W32=${R32#*|}
 EFF=$(python3 -c "print(f'{($T32/$T8)/4:.3f}')" 2>/dev/null || echo null)
-echo "{\"tag\":\"$TAG\",\"bw_before_gbs\":$BW0,\"bw_after_gbs\":$BW1,\"t8\":$T8,\"t32\":$T32,\"raw_eff\":$EFF,\"w8\":\"$W8\",\"w32\":\"$W32\"}" >> "$OUT"
+echo "{\"tag\":\"$TAG\",\"order\":\"${ORDER:-8first}\",\"bw_before_gbs\":$BW0,\"bw_after_gbs\":$BW1,\"t8\":$T8,\"t32\":$T32,\"raw_eff\":$EFF,\"w8\":\"$W8\",\"w32\":\"$W32\"}" >> "$OUT"
 tail -1 "$OUT"
