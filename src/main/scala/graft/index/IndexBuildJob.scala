@@ -159,7 +159,16 @@ object IndexBuildJob {
       }
       val (numbered, stats, offsets) =
         DocIds.assignWithStatsOffsets(turns, parts, a.analyzer)
-      numbered.write.mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
+      // zstd, not the snappy default: corpus_sorted is the build's single
+      // biggest write and S2 re-reads it once — measured at 16M turns,
+      // 3.74 GB (snappy) → 2.57 GB (zstd, −31%) for a spimi-read cost
+      // within noise. On the bus-bound docid stage (and on a cluster's
+      // disks/NICs) bytes are the currency; the CPU zstd spends is idle
+      // reducer time. Codec override: spark.graft.corpus.codec.
+      val corpusCodec = spark.conf.getOption("spark.graft.corpus.codec")
+        .getOrElse("zstd")
+      numbered.write.option("compression", corpusCodec)
+        .mode(SaveMode.Overwrite).parquet(paths.corpusSorted)
       // docid_map from the just-written corpus: a column-pruned parquet scan
       // (3 narrow columns) instead of re-running the assignment pipeline
       Catalog.writeDocidMap(DocIds.toDocidMap(Catalog.readNumbered(spark, paths)), paths)

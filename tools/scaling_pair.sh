@@ -22,6 +22,8 @@ run_w() {
     --driver-java-options "-XX:+UseParallelGC -Xms16g" \
     --conf spark.ui.enabled=false --conf spark.local.dir=/dev/shm/spark-local \
     --conf spark.sql.shuffle.partitions=$N \
+    --conf spark.io.compression.codec=${IO_CODEC:-zstd} \
+    --conf spark.sql.parquet.compression.codec=${PQ_CODEC:-zstd} \
     --class graft.bench.ScalingBench "$JAR" run $N 64000 250 1 2>/dev/null \
     | grep -E 'rep1' | sed -E 's/.*turns\/sec=([0-9.]+) \| (.*)/\1|\2/'
 }
