@@ -2168,6 +2168,34 @@ object OracleSql {
        |FROM ranked WHERE rnk <= $nPer
        |ORDER BY parent_score_r4 DESC, parent ASC, rnk ASC""".stripMargin
 
+  /** parent_id query: children of one parent (derived key). */
+  def parentIdQuery(parent: Long, groupSize: Int): String =
+    s"""SELECT doc_id, doc_id // $groupSize AS parent FROM documents
+       |WHERE doc_id // $groupSize = $parent ORDER BY doc_id""".stripMargin
+
+  /** pinned query: pins first in given order, organic (excluding pins)
+    * fills the rest.
+    */
+  def pinnedTopK(pins: Seq[Long], terms: Seq[String], k: Int): String = {
+    val pinRows = pins.zipWithIndex.map { case (d, i) =>
+      s"(CAST(${i + 1} AS BIGINT), CAST($d AS BIGINT))"
+    }.mkString(", ")
+    val nOrganic = k - pins.size
+    s"""${scoresCtePrefix(terms)},
+       |pins(rnk, doc_id) AS (VALUES $pinRows),
+       |organic AS (
+       |  SELECT doc_id, score FROM scores
+       |  WHERE doc_id NOT IN (${pins.mkString(", ")})
+       |  ORDER BY score DESC, doc_id ASC LIMIT $nOrganic
+       |)
+       |SELECT rnk, doc_id, TRUE AS pinned FROM pins
+       |UNION ALL
+       |SELECT ${pins.size} + row_number() OVER (ORDER BY score DESC, doc_id ASC),
+       |       doc_id, FALSE AS pinned
+       |FROM organic
+       |ORDER BY rnk""".stripMargin
+  }
+
   // --- _termvectors / _count / distance_feature ----------------------------
 
   /** _termvectors with term_statistics: one doc's tf + corpus df/ttf. */
@@ -2268,6 +2296,41 @@ object OracleSql {
        |SELECT source, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars_r4
        |FROM ranked WHERE rn <= $maxPerKey
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** DSIR importance weights (hashed unigram+bigram features, first md5
+    * hex byte mod nBuckets, add-1 smoothing) — the exact closed-form twin
+    * of graft.operators.Dsir.
+    */
+  def dsirWeights(targetSource: String, k: Int, nBuckets: Int = 64): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ${toks("text")} AS t FROM documents
+       |), ngrams AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_concat(t, list_transform(range(1, len(t)),
+       |                i -> concat(t[i], '_', t[i+1])))) AS ng
+       |  FROM toks
+       |), feats AS (
+       |  SELECT doc_id, source = '$targetSource' AS is_target,
+       |         ((strpos('$Hex', substr(md5(ng), 1, 1)) - 1) * 16 +
+       |          strpos('$Hex', substr(md5(ng), 2, 1)) - 1) % $nBuckets AS bucket
+       |  FROM ngrams
+       |), census AS (
+       |  SELECT bucket, count(*) AS rc,
+       |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+       |  FROM feats GROUP BY bucket
+       |), tot AS (
+       |  SELECT sum(rc) AS rt, sum(tc) AS tt FROM census
+       |), ratio AS (
+       |  SELECT bucket, ln((tc + 1.0) / (tt + $nBuckets)) -
+       |                 ln((rc + 1.0) / (rt + $nBuckets)) AS lr
+       |  FROM census CROSS JOIN tot
+       |)
+       |SELECT doc_id, round(sum(lr), 6) AS logw_r6
+       |FROM feats JOIN ratio USING (bucket)
+       |GROUP BY doc_id
+       |ORDER BY sum(lr) DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  private val Hex = "0123456789abcdef"
 
   /** SemDeDup oracle from the engine-recorded cluster assignment: exact
     * cosine re-verification of every within-cluster (lower-id, higher-id)

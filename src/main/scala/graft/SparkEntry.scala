@@ -684,6 +684,18 @@ object SparkEntry {
       Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00"))),
     "agg_boxplot_mad" -> ((s, dir) => EsAggs.boxplotMad(s, dir)),
     "agg_diversified_sampler" -> ((s, dir) => EsAggs.diversifiedSampler(s, dir, 20)),
+    // ES parent_id: children of one parent
+    "parent_id" -> ((s, dir) =>
+      graft.search.ParentChild.parentId(s, parentMap(s, dir), 42L)),
+    // ES pinned query: promoted ids first, organic fill
+    "bm25_pinned" -> ((s, dir) => {
+      val idx = IndexCache.documentsIndex(s, dir)
+      graft.search.Hybrid.pinnedTopK(s, idx.paths.root, Seq(420L, 7L, 159L),
+        Seq("join", "window", "vector"), K)
+    }),
+    // DSIR importance-resampling weights vs the src1 target domain
+    "dsir_weights" -> ((s, dir) =>
+      graft.operators.Dsir.importanceWeights(s, dir, "src1", 50)),
     // SemDeDup semantic near-dup pruning (cluster-bounded, recorded-
     // assignment oracle — the ann_ivf pattern)
     "dedup_semantic" -> ((s, dir) =>
@@ -867,6 +879,10 @@ object SparkEntry {
       Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")),
     "agg_boxplot_mad" -> OracleSql.boxplotMad,
     "agg_diversified_sampler" -> OracleSql.diversifiedSampler(20),
+    "parent_id" -> OracleSql.parentIdQuery(42L, 10),
+    "bm25_pinned" -> OracleSql.pinnedTopK(Seq(420L, 7L, 159L),
+      Seq("join", "window", "vector"), K),
+    "dsir_weights" -> OracleSql.dsirWeights("src1", 50),
   ) ++
     // SemDeDup: generated from the engine-recorded cluster assignment
     graft.operators.SemDedup.lastOracle.map { case (asg, tau) =>

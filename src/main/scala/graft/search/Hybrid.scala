@@ -38,4 +38,27 @@ object Hybrid {
     spark.createDataset(fused).toDF("doc_id", "rrf")
       .select($"doc_id", round($"rrf", 6).as("rrf_r6"))
   }
+
+  /** ES `pinned` query: the given ids rank first, IN THE GIVEN ORDER and
+    * whether or not they match (ES's promoted-results contract); organic
+    * results (excluding pins) fill the remaining `k − |pins|` slots in
+    * (score desc, doc_id asc) order.
+    *
+    * One WAND pass of `k + |pins|` (a superset of the needed organic rows
+    * even if every pin also ranks organically), the ≤ k+|pins| hits
+    * collected — the same k-row driver composition as search_after.
+    */
+  def pinnedTopK(spark: SparkSession, root: String, pins: Seq[Long],
+      rawTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    require(pins.size <= k, "more pins than result slots")
+    val pinSet = pins.toSet
+    val organic = SearchEngine.topKWand(spark, root, rawTerms, k + pins.size)
+      .as[graft.model.Hit].collect()
+      .filter(h => !pinSet.contains(h.doc_id))
+      .take(k - pins.size)
+    val rows = pins.zipWithIndex.map { case (d, i) => (i + 1L, d, true) } ++
+      organic.zipWithIndex.map { case (h, i) => (pins.size + i + 1L, h.doc_id, false) }
+    spark.createDataset(rows).toDF("rnk", "doc_id", "pinned")
+  }
 }

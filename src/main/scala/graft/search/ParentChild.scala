@@ -80,6 +80,18 @@ object ParentChild {
       .orderBy($"doc_id")
   }
 
+  /** ES `parent_id` query: all children of ONE parent. With a stored join
+    * field the scan prunes on the parent key (partition/bucket by parent at
+    * scale); with a derived key, as here, the predicate evaluates inside the
+    * metadata scan — still one narrow column pass, no join, no shuffle.
+    */
+  def parentId(spark: SparkSession, map: DataFrame, parent: Long): DataFrame = {
+    import spark.implicits._
+    map.filter($"parent" === parent)
+      .select($"doc_id", $"parent")
+      .orderBy($"doc_id")
+  }
+
   /** `has_child` top parents with `inner_hits`: the top `kParents` parents
     * by best-child score, each carrying its top `nPer` matching children
     * (rank within parent by (score desc, doc_id asc), ES's tiebreak).

@@ -70,6 +70,24 @@ class ParentChildSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("parent_id returns exactly one group's children") {
+    val got = ParentChild.parentId(spark, map, 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (420L to 429L).map(d => (d, 42L)))
+  }
+
+  test("pinned query: pins first in given order, organic fill excludes pins") {
+    val pins = Seq(420L, 7L, 159L)
+    val got = Hybrid.pinnedTopK(spark, root, pins, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got.take(3) == pins.zipWithIndex.map { case (d, i) => (i + 1L, d, true) })
+    val organicIds = got.drop(3).map(_._2)
+    assert(got.size == 10 && organicIds.intersect(pins).isEmpty)
+    val wand = SearchEngine.topKWand(spark, root, q, 13)
+      .collect().map(_.getLong(0)).filterNot(pins.contains).take(7).toSeq
+    assert(organicIds == wand)
+  }
+
   test("inner_hits ranks each top parent's children (score desc, doc_id asc)") {
     val got = ParentChild.innerHits(spark, root, map, q, kParents = 5, nPer = 3)
       .collect().map(r =>
