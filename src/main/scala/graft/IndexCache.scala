@@ -116,6 +116,25 @@ object IndexCache {
       })
     }
 
+  /** ES `_reindex` with a source query: a new index built from the FILTERED
+    * corpus (stats reflect only surviving docs, exactly as a reindexed ES
+    * index). At scale the filter rides the source scan (predicate pushdown)
+    * and the rebuild is the ordinary build pipeline — _reindex IS a build
+    * whose input is another index's stored corpus.
+    */
+  def reindexedSource(spark: SparkSession, sfDir: String,
+      source: String): Indexer.BuildResult = synchronized {
+    built.getOrElseUpdate(s"$sfDir#reindex#$source", {
+      import spark.implicits._
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft-index-$jvmTag/$key/documents_reindex_$source"
+      val docs = Catalog.readTable(spark, sfDir, "documents")
+        .filter($"source" === source)
+        .select($"doc_id", $"text").as[graft.model.Doc]
+      Indexer.buildFromDocs(docs, root, buckets = Buckets, targetRun = TargetRun)
+    })
+  }
+
   /** Search-as-you-type index: `edge_ngram` analysis (grams 2..5) at index
     * time, `standard` at query time (Analyzer.searchForm), so a typed
     * prefix scores against the gram postings with the gram field's own

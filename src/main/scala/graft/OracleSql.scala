@@ -2297,6 +2297,17 @@ object OracleSql {
        |FROM ranked WHERE rn <= $maxPerKey
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** _analyze: tokens + 0-based positions of a literal string under the
+    * standard chain (parallel unnests zip positionally in DuckDB).
+    */
+  def analyzeText(sample: String): String = {
+    val lit = "'" + sample.replace("'", "''") + "'"
+    s"""WITH t AS (SELECT ${toks(lit)} AS t)
+       |SELECT CAST(unnest(range(0, len(t))) AS BIGINT) AS pos,
+       |       unnest(t) AS token
+       |FROM t ORDER BY pos""".stripMargin
+  }
+
   /** DSIR importance weights (hashed unigram+bigram features, first md5
     * hex byte mod nBuckets, add-1 smoothing) — the exact closed-form twin
     * of graft.operators.Dsir.

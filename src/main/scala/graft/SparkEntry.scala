@@ -693,6 +693,20 @@ object SparkEntry {
       graft.search.Hybrid.pinnedTopK(s, idx.paths.root, Seq(420L, 7L, 159L),
         Seq("join", "window", "vector"), K)
     }),
+    // ES _analyze: the analysis chain applied to a given string — token +
+    // 0-based position (the API surface for debugging analyzers)
+    "analyze_text" -> ((s, dir) => {
+      import s.implicits._
+      Seq(AnalyzeSample).toDF("text")
+        .select(posexplode(graft.core.Analyzer.tokensCol($"text")))
+        .select($"pos".cast("long").as("pos"), $"col".as("token"))
+        .orderBy($"pos")
+    }),
+    // ES _reindex with a source query: stats reflect only surviving docs
+    "reindex_filtered" -> ((s, dir) => {
+      val idx = IndexCache.reindexedSource(s, dir, "src2")
+      SearchEngine.topKWandRounded(s, idx.paths.root, Seq("join", "window"), K)
+    }),
     // DSIR importance-resampling weights vs the src1 target domain
     "dsir_weights" -> ((s, dir) =>
       graft.operators.Dsir.importanceWeights(s, dir, "src1", 50)),
@@ -716,6 +730,10 @@ object SparkEntry {
     "q1" -> Seq("join", "window", "vector"),
     "q2" -> Seq("hash", "stream"),
     "q3" -> Seq("sort", "merge", "filter"))
+
+  /** _analyze sample: punctuation, case, digits — the analyzer edge shapes. */
+  private val AnalyzeSample =
+    "Spark-Native BM25: term/frequencies, 42 positions... (and GAPS)!"
 
   /** domain_mix targets (sources beyond these are dropped by contract). */
   private val DomainTargets: Map[String, Double] =
@@ -883,6 +901,9 @@ object SparkEntry {
     "bm25_pinned" -> OracleSql.pinnedTopK(Seq(420L, 7L, 159L),
       Seq("join", "window", "vector"), K),
     "dsir_weights" -> OracleSql.dsirWeights("src1", 50),
+    "analyze_text" -> OracleSql.analyzeText(AnalyzeSample),
+    "reindex_filtered" -> OracleSql.bm25TopK(Seq("join", "window"), K,
+      corpusFilter = Some("source = 'src2'")),
   ) ++
     // SemDeDup: generated from the engine-recorded cluster assignment
     graft.operators.SemDedup.lastOracle.map { case (asg, tau) =>
