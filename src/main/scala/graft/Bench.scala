@@ -38,6 +38,7 @@ object Bench {
     IndexCache.englishIndex(spark, sfDir)                // stop+stem variant
     IndexCache.synonymsIndex(spark, sfDir)               // index-time synonyms
     IndexCache.edgeNgramIndex(spark, sfDir)              // search_as_you_type grams
+    IndexCache.reindexedSource(spark, sfDir, "src2")     // _reindex target
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)
