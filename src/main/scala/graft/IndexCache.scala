@@ -226,6 +226,23 @@ object IndexCache {
     })
   }
 
+  private val bigramBuilt = scala.collection.mutable.Set[String]()
+
+  /** Documents index with the corpus bigram-count LM artifact published
+    * (index.BigramLm — built once per sfDir, like the positional index; the
+    * phrase suggester reads it instead of re-aggregating the corpus).
+    */
+  def bigramIndex(spark: SparkSession, sfDir: String): Indexer.BuildResult =
+    synchronized {
+      val res = documentsIndex(spark, sfDir)
+      if (!bigramBuilt.contains(sfDir)) {
+        graft.index.BigramLm.build(
+          Catalog.readDocuments(spark, sfDir), res.paths.root)
+        bigramBuilt += sfDir
+      }
+      res
+    }
+
   private val posBuilt = scala.collection.mutable.Set[String]()
 
   /** Positional index over the same corpus/root (built on first use). */

@@ -1226,6 +1226,42 @@ object OracleSql {
        |       min(wmin) AS min_fp, max(wmin) AS max_fp
        |FROM w WHERE pos >= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Substring-dedup twin (Lee et al. 2022 span removal): identical shingle
+    * hashes, per-hash (m1, second-min, ≥2-distinct-docs), gaps-and-islands
+    * run detection, and span arithmetic — term for term with
+    * Dedup.substringDups (positions 0-based in both engines).
+    */
+  def substringDups(minTokens: Int, k: Int): String = {
+    val gram = (1 to k).map(j => s"t[i+${j - 1}]").mkString(" || '_' || ")
+    s"""WITH grams AS (
+       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) - ${k - 2}),
+       |             i -> {'pos': i - 1, 'h': md5($gram)})) AS u
+       |    FROM ($toksrc) WHERE len(t) >= $k)),
+       |hs AS (
+       |  SELECT h, min(doc_id) AS m1, count(DISTINCT doc_id) AS nd
+       |  FROM grams GROUP BY h),
+       |dup AS (SELECT h, m1 FROM hs WHERE nd >= 2),
+       |m2 AS (
+       |  SELECT g.h AS h, min(g.doc_id) AS m2
+       |  FROM grams g JOIN dup ON g.h = dup.h WHERE g.doc_id > dup.m1
+       |  GROUP BY g.h),
+       |occ AS (
+       |  SELECT g.doc_id AS doc_id, g.pos AS pos,
+       |         CASE WHEN g.doc_id = d.m1 THEN m2.m2 ELSE d.m1 END AS dup_src
+       |  FROM grams g JOIN dup d ON g.h = d.h LEFT JOIN m2 ON m2.h = g.h),
+       |isl AS (
+       |  SELECT doc_id, pos, dup_src,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM occ)
+       |SELECT doc_id, min(pos) AS start_tok, max(pos) + ${k - 1} AS end_tok,
+       |       min(dup_src) AS dup_of
+       |FROM isl GROUP BY doc_id, grp
+       |HAVING max(pos) - min(pos) + $k >= $minTokens
+       |ORDER BY doc_id, start_tok""".stripMargin
+  }
+
   def embCosineTopK(probeId: Long, k: Int): String =
     s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $probeId),
        |c AS (
@@ -1842,20 +1878,45 @@ object OracleSql {
        |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
        |FROM c ORDER BY cos_r6 DESC, vec_id LIMIT $k""".stripMargin
 
-  /** Unigram-LM perplexity twin (add-one smoothing over the observed
-    * vocabulary, trained on the same corpus).
+  /** Shared CTE prefix of the bigram-LM perplexity twins: per-token units
+    * (doc, previous-token-or-NULL, token), unigram counts, totals, bigram
+    * counts, per-token log-prob — the exact TextAnalysis.lmPerplexity model
+    * (add-one smoothed bigram, first token scored by the unigram LM).
     */
-  val lmPerplexity: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
+  private val pplCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, t FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)
+       |  WHERE len(t) > 0
+       |), units AS (
+       |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'w1': CASE WHEN i = 1 THEN NULL ELSE t[i-1] END,
+       |                   'w2': t[i]})) AS u
+       |    FROM tok)
        |), cf AS (
-       |  SELECT term, count(*) AS cf FROM tok GROUP BY term
+       |  SELECT w2 AS term, count(*) AS cf FROM units GROUP BY w2
        |), tot AS (
        |  SELECT sum(cf) AS total, count(*) AS v FROM cf
+       |), big AS (
+       |  SELECT w1, w2, count(*) AS big FROM units WHERE w1 IS NOT NULL
+       |  GROUP BY w1, w2
        |), lp AS (
-       |  SELECT doc_id, ln((cf + 1.0) / (total + v)) AS lp
-       |  FROM tok JOIN cf USING (term) CROSS JOIN tot
-       |)
+       |  SELECT u.doc_id AS doc_id,
+       |    CASE WHEN u.w1 IS NULL THEN ln((cf2.cf + 1.0) / (tot.total + tot.v))
+       |         ELSE ln((coalesce(b.big, 0) + 1.0) / (cf1.cf + tot.v)) END AS lp
+       |  FROM units u
+       |  JOIN cf cf2 ON cf2.term = u.w2
+       |  LEFT JOIN cf cf1 ON cf1.term = u.w1
+       |  LEFT JOIN big b ON b.w1 = u.w1 AND b.w2 = u.w2
+       |  CROSS JOIN tot
+       |)""".stripMargin
+
+  /** Bigram-LM perplexity twin (add-one smoothing, unigram first token —
+    * the same LM trained on the same corpus).
+    */
+  val lmPerplexity: String =
+    s"""WITH $pplCtes
        |SELECT doc_id, count(*) AS n_tokens, round(exp(-avg(lp)), 4) AS ppl_r4
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -1863,16 +1924,7 @@ object OracleSql {
     * interpolation, and CASE boundaries.
     */
   val pplBuckets: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents
-       |), cf AS (
-       |  SELECT term, count(*) AS cf FROM tok GROUP BY term
-       |), tot AS (
-       |  SELECT sum(cf) AS total, count(*) AS v FROM cf
-       |), lp AS (
-       |  SELECT doc_id, ln((cf + 1.0) / (total + v)) AS lp
-       |  FROM tok JOIN cf USING (term) CROSS JOIN tot
-       |), ppl AS (
+    s"""WITH $pplCtes, ppl AS (
        |  SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl_r4 FROM lp GROUP BY doc_id
        |), th AS (
        |  SELECT round(quantile_cont(ppl_r4, 1.0/3), 6) AS t1,
@@ -1900,7 +1952,7 @@ object OracleSql {
        |)
        |SELECT doc_id, source
        |FROM documents JOIN rates USING (source)
-       |WHERE ((doc_id * 2654435761) % 1000000) / 1000000.0 < r
+       |WHERE (((doc_id % 1000000) * 2654435761) % 1000000) / 1000000.0 < r
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -2009,8 +2061,10 @@ object OracleSql {
        |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS r
        |  FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id ASC LIMIT $k)
        |), m AS (
+       |  -- ES precision divides by |retrieved| (<= k), not the requested k
        |  SELECT
-       |    (SELECT count(*) FROM hits WHERE rel >= 2) / (1.0 * $k) AS p,
+       |    coalesce((SELECT count(*) FROM hits WHERE rel >= 2) /
+       |      nullif(1.0 * (SELECT count(*) FROM hits), 0.0), 0.0) AS p,
        |    coalesce((SELECT 1.0 / min(r) FROM hits WHERE rel >= 2), 0.0) AS mrr,
        |    (SELECT sum((pow(2, rel) - 1) / (ln(r + 1.0) / ln(2))) FROM hits) AS dcg,
        |    (SELECT sum((pow(2, rel) - 1) / (ln(r + 1.0) / ln(2))) FROM ideal) AS idcg
@@ -2052,10 +2106,13 @@ object OracleSql {
       |       max(event_id) AS latest_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** percentile_ranks twin: exact percent-at-or-below per threshold. */
+  /** percentile_ranks twin: exact percent-at-or-below per threshold.
+    * Column suffix = EsAggs.prSuffix (full-value identity, no collisions).
+    */
   def aggPercentileRanks(at: Seq[Double]): String = {
     val cols = at.map(x =>
-      s"round(count(CASE WHEN value <= $x THEN 1 END) * 100.0 / count(*), 4) AS pr_${x.toLong}")
+      s"round(count(CASE WHEN value <= $x THEN 1 END) * 100.0 / count(*), 4) AS " +
+        s"pr_${graft.operators.EsAggs.prSuffix(x)}")
     s"""SELECT event_type, ${cols.mkString(", ")}
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
@@ -2071,7 +2128,9 @@ object OracleSql {
     * stats); query terms match the grams as-is (search analyzer standard).
     */
   def bm25EdgeNgram(terms: Seq[String], k: Int): String = {
-    val t = terms.flatMap(graft.core.Analyzer.tokenize(_)).distinct.sorted
+    // same edge_search truncation as the engine's query path (Analyzer)
+    val t = terms.flatMap(graft.core.Analyzer.analyze(_, "edge_search"))
+      .distinct.sorted
     val min = graft.core.Analyzer.EdgeMin
     val max = graft.core.Analyzer.EdgeMax
     s"""WITH grams AS (

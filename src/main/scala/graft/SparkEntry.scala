@@ -383,6 +383,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(s, dir, 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir, 0.5)),
+    // substring-level span dedup (Lee et al. 2022): maximal ≥12-token spans
+    // duplicated across documents, as (doc, start, end, dup_of) rows
+    "dedup_substring" -> ((s, dir) => Dedup.substringDups(s, dir, 12)),
     // --- training-data pipeline: text analysis -------------------------------
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -616,11 +619,12 @@ object SparkEntry {
     // ES weighted_avg / multi_terms aggregation shapes
     "agg_weighted_avg" -> ((s, dir) => EsAggs.weightedAvg(s, dir)),
     "agg_multi_terms" -> ((s, dir) => EsAggs.multiTerms(s, dir)),
-    // ES phrase suggester: dictionary candidates re-ranked by a corpus
-    // bigram LM ("jion hash" → "join hash" by bigram evidence)
+    // ES phrase suggester: dictionary candidates re-ranked by the corpus
+    // bigram LM ARTIFACT ("jion hash" → "join hash" by bigram evidence;
+    // no corpus scan in the query plan — BigramLm is build-time state)
     "suggest_phrase" -> ((s, dir) => {
-      val idx = IndexCache.documentsIndex(s, dir)
-      graft.search.Suggest.phrase(s, idx.paths.root, dir, Seq("jion", "hash"), 5,
+      val idx = IndexCache.bigramIndex(s, dir)
+      graft.search.Suggest.phrase(s, idx.paths.root, Seq("jion", "hash"), 5,
         maxDist = 2)
     }),
     // ES _rank_eval: precision@k / MRR / NDCG@k against derived judgments
@@ -822,6 +826,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(0.5),
     "dedup_simhash" -> OracleSql.simhash,
     "dedup_clusters" -> OracleSql.dedupClusters(0.5),
+    "dedup_substring" -> OracleSql.substringDups(12, 3),
     "lang_id" -> OracleSql.langId,
     "quality_score" -> OracleSql.qualityScore,
     "token_counts" -> OracleSql.tokenCounts,

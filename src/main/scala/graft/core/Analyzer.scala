@@ -101,6 +101,13 @@ object Analyzer {
     case "edge_ngram" => tokenize(text).flatMap { t =>
       (EdgeMin to math.min(t.length, EdgeMax)).map(t.substring(0, _))
     }
+    // SEARCH side of an edge_ngram index: standard tokenization, each term
+    // truncated to the longest stored gram (EdgeMax) — a query term longer
+    // than EdgeMax matches via its EdgeMax-prefix gram, the closest public
+    // analog of ES's prefix behavior on search_as_you_type (ADVICE r5: the
+    // plain `standard` search form silently matched NOTHING past EdgeMax).
+    case "edge_search" => tokenize(text).map(t =>
+      if (t.length > EdgeMax) t.substring(0, EdgeMax) else t)
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 
@@ -112,12 +119,14 @@ object Analyzer {
 
   /** Query-side analyzer for an index analyzer — identity except
     * `edge_ngram`, where ES's own convention applies: search_as_you_type
-    * indexes with the gram analyzer but SEARCHES with `standard` (the
-    * typed prefix is matched against the stored grams as-is; expanding the
-    * query into its own grams would conjunct every shorter prefix).
+    * indexes with the gram analyzer but SEARCHES with the plain token
+    * (the typed prefix is matched against the stored grams as-is;
+    * expanding the query into its own grams would conjunct every shorter
+    * prefix), truncated to EdgeMax so over-long terms still match their
+    * longest stored gram ([[analyze]]'s `edge_search` case).
     */
   def searchForm(analyzer: String): String =
-    if (analyzer == "edge_ngram") "standard" else analyzer
+    if (analyzer == "edge_ngram") "edge_search" else analyzer
 
   /** [[analyze]] + an index-time synonym CONTRACTION map (Lucene
     * `a,b => a` form) applied after the base chain: every token is replaced

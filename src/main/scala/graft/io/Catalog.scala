@@ -52,6 +52,10 @@ object Catalog {
     // index-time synonym map (token -> canonical), written once at build;
     // query-time analysis MUST apply the same map (meta.synonyms flags it)
     def synonyms: String = s"$root/synonyms"
+    // corpus bigram counts (w1, w2, big) — the LM build artifact the phrase
+    // suggester and shard-local rescorers read instead of re-aggregating
+    // the corpus per query (index.BigramLm)
+    def bigrams: String = s"$root/bigram_counts"
   }
 
   def writeSynonyms(spark: SparkSession, paths: IndexPaths,

@@ -242,6 +242,68 @@ object Dedup {
   /** 32-bit SimHash fingerprint per doc: md5-derived term bit patterns
     * weighted by tf; pure integer arithmetic — bit-exact across engines.
     */
+  /** SUBSTRING-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): the standard pipeline removes repeated
+    * SPANS, not just whole near-duplicate documents — a ≥ `minTokens`-token
+    * substring appearing in more than one document is a duplicated span in
+    * every document carrying it. Output: one row per maximal duplicated
+    * span, `(doc_id, start_tok, end_tok, dup_of)` (token positions
+    * 0-based inclusive; `dup_of` = the lowest other doc sharing the span's
+    * first shared shingle — the cluster-canonical convention exactDups and
+    * dedupClusters use).
+    *
+    * The paper's suffix array is a single-machine structure; the
+    * distributed equivalent here rides the winnowing machinery: token
+    * `k`-gram shingle hashes with positions, a shingle is DUPLICATED when
+    * ≥ 2 distinct docs carry it, and a duplicated substring of length L
+    * is exactly a run of L−k+1 consecutive duplicated-shingle positions
+    * (gaps-and-islands over each doc's position stream).
+    *
+    * Scale shape: one tokenize+posexplode pass; shingle stats are a
+    * groupBy on the UNIFORM md5 key with map-side partials and
+    * constant-size state (min, second-min, distinct-2 count — never a
+    * per-hash doc list); the run detection is a per-doc window (partition
+    * key = doc_id, bounded by doc length). No pairwise stage anywhere —
+    * boilerplate shingles shared by millions of docs cost one posting row
+    * each, not a quadratic join (the reason Lee et al. replaces MinHash
+    * for span work).
+    */
+  def substringDups(spark: SparkSession, sfDir: String,
+      minTokens: Int = 12, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(k >= 2 && minTokens >= k, "need k >= 2 and minTokens >= k")
+    val gramExpr = (0 until k).map(j => s"t[i+$j]").mkString(", '_', ")
+    val grams = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", Analyzer.tokensCol($"text").as("t"))
+      .select($"doc_id", posexplode(
+        when(size($"t") >= k,
+          expr(s"transform(sequence(0, size(t)-$k), i -> md5(concat($gramExpr)))"))
+          .otherwise(expr("array()"))))
+      .toDF("doc_id", "pos", "h")
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"h")
+    // per-hash: lowest doc + cross-doc duplication flag (exact, 2-level agg)
+    val hs = grams.groupBy($"h")
+      .agg(min($"doc_id").as("m1"), countDistinct($"doc_id").as("nd"))
+    val dup = hs.filter($"nd" >= 2).select($"h", $"m1")
+    // second-lowest doc per duplicated hash (for spans inside m1 itself)
+    val m2 = grams.join(dup, "h").filter($"doc_id" > $"m1")
+      .groupBy($"h").agg(min($"doc_id").as("m2"))
+    val occ = grams.join(dup, "h").join(m2, Seq("h"), "left")
+      .select($"doc_id", $"pos",
+        when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("dup_src"))
+    // gaps-and-islands: consecutive duplicated positions share pos − rn
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    occ.withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("start_tok"),
+        (max($"pos") + lit(k - 1).cast("long")).as("end_tok"),
+        min($"dup_src").as("dup_of"))
+      .filter($"end_tok" - $"start_tok" + 1 >= minTokens)
+      .select($"doc_id", $"start_tok", $"end_tok", $"dup_of")
+      .orderBy($"doc_id", $"start_tok")
+  }
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val tf = Catalog.readTable(spark, sfDir, "documents")

@@ -223,6 +223,16 @@ object EsAggs {
       .orderBy($"event_type")
   }
 
+  /** Column-name suffix for a percentile-rank threshold: the FULL value
+    * ('.' → '_', '-' → 'm'), so fractional thresholds keep their identity
+    * and two values sharing an integer part can't collide (ADVICE r5:
+    * `x.toLong` mapped 100.5 and 100.9 to the same `pr_100`). Shared with
+    * [[graft.OracleSql.aggPercentileRanks]] so both engines name columns
+    * identically (the driver compare sorts by name).
+    */
+  def prSuffix(x: Double): String =
+    x.toString.replace('.', '_').replace('-', 'm')
+
   /** ES `percentile_ranks`: the inverse of `percentiles` — for each given
     * value, the percentage of observations at or below it. Exact (one
     * count(when) per threshold, all mergeable) where ES is TDigest-
@@ -233,7 +243,7 @@ object EsAggs {
     import spark.implicits._
     val cols = at.map(x =>
       round(count(when($"value" <= x, 1)) * 100.0 / count(lit(1)), 4)
-        .as(s"pr_${x.toLong}"))
+        .as(s"pr_${prSuffix(x)}"))
     Catalog.readTable(spark, sfDir, "events")
       .groupBy($"event_type")
       .agg(cols.head, cols.tail: _*)

@@ -159,8 +159,13 @@ object Hygiene {
     val scale = joined.agg(min($"c" / $"w").as("s"))
     val rates = joined.crossJoin(broadcast(scale))
       .select($"source", least(lit(1.0), $"w" * $"s" / $"c").as("r"))
+    // overflow-safe multiplicative hash: reduce doc_id mod 10^6 BEFORE the
+    // Knuth multiply — ((d mod m)·c) mod m ≡ (d·c) mod m, and the product is
+    // bounded by 10^6·2654435761 ≈ 2.7e15 << 2^63, so neither engine can
+    // overflow at ANY doc_id (ADVICE r5: the raw product wrapped negative in
+    // Spark past doc_id ≈ 3.47e9 — always-selected rows — while DuckDB threw)
     docs.join(broadcast(rates), "source")
-      .filter((($"doc_id" * 2654435761L) % 1000000L) / 1000000.0 < $"r")
+      .filter(((($"doc_id" % 1000000L) * 2654435761L) % 1000000L) / 1000000.0 < $"r")
       .select($"doc_id", $"source")
       .orderBy($"doc_id")
   }

@@ -14,7 +14,10 @@ import graft.io.Catalog
   * for the binary metrics means rel ≥ 2) — in production they'd come from a
   * labeled table; the computation below is identical either way.
   *
-  *   p_at_k = |{hit : rel ≥ 2}| / k
+  *   p_at_k = |{hit : rel ≥ 2}| / |retrieved| — ES's precision metric
+  *            divides by the number of documents actually retrieved (≤ k),
+  *            not the requested k, so sparse queries aren't penalized for
+  *            a short result list (ADVICE r5); 0 when nothing is retrieved
   *   mrr    = 1 / (first rank with rel ≥ 2), 0 if none
   *   ndcg   = DCG / IDCG, DCG = Σ (2^rel − 1) / log₂(rank + 1),
   *            IDCG over the k best judgments corpus-wide
@@ -56,7 +59,8 @@ object RankEval {
       (math.pow(2.0, relv.toDouble) - 1.0) / (math.log(rank + 1.0) / math.log(2.0))
 
     val rels = ranked.zipWithIndex.map { case (d, i) => (relByDoc.getOrElse(d, 0L), i + 1) }
-    val pAtK = rels.count(_._1 >= 2).toDouble / k
+    val pAtK =
+      if (ranked.isEmpty) 0.0 else rels.count(_._1 >= 2).toDouble / ranked.length
     val mrr = rels.find(_._1 >= 2).map(r => 1.0 / r._2).getOrElse(0.0)
     val dcg = rels.map { case (r, i) => gain(r, i) }.sum
     val idcg = idealRels.zipWithIndex.map { case (r, i) => gain(r, i + 1) }.sum

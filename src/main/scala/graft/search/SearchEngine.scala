@@ -79,6 +79,20 @@ object SearchEngine {
   /** Per-doc BM25 score for EVERY doc matching any query term — no top-k
     * cut. Feeds the exhaustive shadow and per-bucket aggregations
     * (Aggregations.topHitsByFacet), where the cut happens per group.
+    *
+    * Plan: one pruned postings scan (bucket pruning + term pushdown), then
+    * the per-term pivot `groupBy(doc_id).agg(sum(when(ti===i, tf))…)` — a
+    * codegen'd HashAggregate whose MAP-SIDE PARTIALS absorb a doc's
+    * per-term hits before the exchange, so ONE row per doc crosses instead
+    * of one per posting (VERDICT r5: the old groupByKey.mapGroups shape
+    * shipped df-proportional rows through a combiner-less exchange — this
+    * is the synonymTopK/crossFields rewrite applied to the generic scorer
+    * all 12 exhaustive-family riders share). Each (doc, term) cell holds at
+    * most one posting (a (term, doc) pair lives in exactly one block), so
+    * the Int tf partials are single-addend — exact under any combine order;
+    * the BM25 math runs in one narrow typed map per doc in fixed ascending
+    * term order, reusing the exact [[Bm25.tfNorm]] scalar ops — scores stay
+    * bit-identical to the old shape (WandSpec's shadow equality pins it).
     */
   def scoreAllDocs(spark: SparkSession, root: String,
       rawTerms: Seq[String]): DataFrame = {
@@ -89,34 +103,36 @@ object SearchEngine {
     if (qm.isEmpty) return emptyHits(spark)
     val bcQm = spark.sparkContext.broadcast(qm)
 
-    val contribs = queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
+    val n = qm.terms.length
+    // one Long tf column per query term; dl is constant per doc (max = value)
+    val tfCols = (0 until n).map(i => sum(when($"ti" === i, $"tf")).as(s"tf$i"))
+    queryPostings(spark, paths, qm.terms.toSeq, meta.buckets)
       .flatMap { b =>
         val qmv = bcQm.value
         val ti = java.util.Arrays.binarySearch(qmv.terms.asInstanceOf[Array[AnyRef]], b.term)
         if (ti < 0) Iterator.empty
         else {
-          val idf = qmv.idfs(ti)
           val d = Blocks.decode(b)
-          val n = d.docs.length
-          val out = new Array[(Long, Int, Double)](n)
-          var i = 0
-          while (i < n) {
-            out(i) = (d.docs(i), ti, idf * Bm25.tfNorm(d.tfs(i), d.dls(i).toLong, qmv.avgdl))
-            i += 1
-          }
-          out.iterator
+          (0 until d.docs.length).iterator
+            .map(i => (d.docs(i), ti, d.tfs(i), d.dls(i)))
         }
       }
-
-    contribs
-      .groupByKey(_._1)
-      .mapGroups { (docId, it) =>
-        // fixed summation order: sort contributions by term index
-        val arr = it.toArray.sortBy(_._2)
+      .toDF("doc_id", "ti", "tf", "dl")
+      .groupBy($"doc_id")
+      .agg(max($"dl").as("dl"), tfCols: _*)
+      .map { r => // one row per doc; exact scalar BM25 in ascending term order
+        val qmv = bcQm.value
+        val dl = r.getInt(1).toLong
         var s = 0.0
-        var i = 0
-        while (i < arr.length) { s += arr(i)._3; i += 1 }
-        Hit(docId, s)
+        var ti = 0
+        while (ti < qmv.terms.length) {
+          if (!r.isNullAt(2 + ti)) {
+            val tf = r.getLong(2 + ti).toInt
+            if (tf > 0) s += qmv.idfs(ti) * Bm25.tfNorm(tf, dl, qmv.avgdl)
+          }
+          ti += 1
+        }
+        Hit(r.getLong(0), s)
       }
       .toDF()
       .transform(graft.index.Deletes.filterLive(_, root))

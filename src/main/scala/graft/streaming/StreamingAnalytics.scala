@@ -25,10 +25,17 @@ object StreamingAnalytics {
       .select($"window.start".as("day"), $"event_type", $"n", $"sum_value")
   }
 
-  /** Open-session state for [[sessionizeWithState]]: epoch-millis bounds +
-    * event count of the user's current (not yet closed) session.
+  /** One session interval held in [[sessionizeWithState]] state: epoch-
+    * millis bounds + event count.
     */
   case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** [[sessionizeWithState]] state: the user's not-yet-watermark-safe
+    * sessions, ascending by start. Bounded: a session is retained only
+    * while `lastMs + gap ≥ watermark`, so the list never holds more than
+    * ⌈watermarkDelay / gap⌉ + 1 entries (3 here) regardless of input.
+    */
+  case class SessState(sessions: List[OpenSession])
 
   /** A closed session emitted by [[sessionizeWithState]]. */
   case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
@@ -39,25 +46,60 @@ object StreamingAnalytics {
     * counts with arbitrary state transitions; here it reproduces the
     * 30-minute-gap semantics so the batch twin can check it).
     *
-    * Protocol (the canonical Spark sessionization shape):
-    *  - each invocation folds the user's new events (sorted — intra-batch
-    *    order is not guaranteed) into the open session from state;
-    *  - a gap > `gapSec` closes the running session and emits it
-    *    immediately (safe under the watermark: an event late enough to land
-    *    inside an emitted gap would have been dropped upstream);
-    *  - the trailing session stays in state with an EVENT-TIME timeout at
-    *    lastTs + gap; when the watermark passes that, the timeout fires and
-    *    the session is emitted with no further input.
+    * Protocol (watermark-safe; ADVICE r5 — the previous version emitted a
+    * session the moment an intra-batch gap exceeded `gapSec`, but with
+    * watermark delay (1 h) > gap (30 min) a later batch can legally carry
+    * an out-of-order event that lands INSIDE an already-emitted gap,
+    * splitting/undercounting the session):
+    *  - each invocation merges the user's new events into the session list
+    *    from state (interval merge on the gap: an event extends any session
+    *    within `gap` of it, and can bridge two formerly-separate sessions —
+    *    start/end/count all update correctly for pre-start late events);
+    *  - a session is emitted ONLY once `lastMs + gap < watermark` — no
+    *    event that could still legally arrive (ts ≥ watermark) can touch it;
+    *  - the rest stay buffered with an EVENT-TIME timeout at the earliest
+    *    `lastMs + gap`; the timeout re-partitions and emits as the
+    *    watermark advances, with no further input needed.
     *
-    * State per key is O(1) (three longs) — at 10^9 users this is the
-    * bounded-state design Structured Streaming's state store shards and
-    * checkpoints for free.
+    * State per key is O(watermarkDelay / gap) sessions (≤ 3 here) — at 10^9
+    * users still the bounded-state design Structured Streaming's state
+    * store shards and checkpoints for free.
     */
   def sessionizeWithState(spark: SparkSession, inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       gapSec: Long = 1800): Dataset[ClosedSession] = {
     import spark.implicits._
     val gapMs = gapSec * 1000L
+
+    // interval merge: sessions and single-event intervals, ascending by
+    // start; consecutive intervals within gapMs merge (bounds widen, counts
+    // add). Both inputs sorted ⇒ one linear fold.
+    def merge(sessions: List[OpenSession], events: Array[Long]): List[OpenSession] = {
+      val items = (sessions ++ events.map(t => OpenSession(t, t, 1)))
+        .sortBy(s => (s.startMs, s.lastMs))
+      items.foldLeft(List.empty[OpenSession]) {
+        case (Nil, s) => s :: Nil
+        case (cur :: done, s) if s.startMs - cur.lastMs <= gapMs =>
+          OpenSession(cur.startMs, math.max(cur.lastMs, s.lastMs), cur.n + s.n) :: done
+        case (acc, s) => s :: acc
+      }.reverse
+    }
+
+    // emit sessions no in-watermark event can still extend; buffer the rest
+    def flush(user: Long, all: List[OpenSession], state: GroupState[SessState])
+        : Iterator[ClosedSession] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (safe, pending) = all.partition(_.lastMs + gapMs < wm)
+      if (pending.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(SessState(pending))
+        // clamp above the watermark: Spark rejects timeouts at/behind it
+        state.setTimeoutTimestamp(
+          math.max(pending.map(_.lastMs).min + gapMs, wm + 1L))
+      }
+      safe.iterator.map(s => ClosedSession(user, s.startMs, s.lastMs, s.n))
+    }
+
     spark.readStream
       .schema(schema)
       .parquet(inputDir)
@@ -68,27 +110,12 @@ object StreamingAnalytics {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
-            state: GroupState[OpenSession]) => {
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(user, s.startMs, s.lastMs, s.n))
-          } else {
+            state: GroupState[SessState]) => {
+          val held = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (state.hasTimedOut) flush(user, held, state)
+          else {
             val sorted = events.map(_._2.getTime).toArray.sorted
-            var open = state.getOption.orNull
-            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-            sorted.foreach { t =>
-              open match {
-                case null => open = OpenSession(t, t, 1)
-                case s if t - s.lastMs > gapMs =>
-                  out += ClosedSession(user, s.startMs, s.lastMs, s.n)
-                  open = OpenSession(t, t, 1)
-                case s => open = OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1)
-              }
-            }
-            state.update(open)
-            state.setTimeoutTimestamp(open.lastMs + gapMs)
-            out.iterator
+            flush(user, merge(held, sorted), state)
           }
         })
   }

@@ -130,6 +130,37 @@ class ResumeSpec extends AnyFunSuite {
     assert(s.stagesRun == Seq("docid_assign", "spimi", "finalize"))
   }
 
+  test("--bigrams builds the LM artifact; resume skips it; counts exact") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-resume-big-${System.nanoTime()}"
+    writeTurnsFixture(s"$dir/turns")
+    val s1 = IndexBuildJob.run(spark, IndexBuildJob.Args(
+      input = s"$dir/turns", output = s"$dir/idx", buckets = 4, targetRun = 128,
+      partitions = Some(4), resume = false, bigrams = true))
+    assert(s1.stagesRun == Seq("docid_assign", "spimi", "finalize", "bigram_lm"))
+    val paths = IndexPaths(s"$dir/idx")
+    assert(graft.io.Fs.exists(paths.bigrams))
+
+    val art = spark.read.parquet(paths.bigrams)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // exact: recount adjacent analyzed-token pairs from the corpus locally
+    val want = Catalog.readNumbered(spark, paths).collect()
+      .flatMap(t => graft.core.Analyzer.tokenize(t.text).sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    assert(art == want)
+
+    val s2 = IndexBuildJob.run(spark, IndexBuildJob.Args(
+      input = s"$dir/turns", output = s"$dir/idx", buckets = 4, targetRun = 128,
+      partitions = Some(4), resume = true, bigrams = true))
+    assert(s2.stagesRun.isEmpty)
+    assert(s2.stagesSkipped ==
+      Seq("docid_assign", "spimi", "finalize", "bigram_lm"))
+    val again = spark.read.parquet(paths.bigrams)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(again == art, "resume must leave the artifact byte-identical")
+  }
+
   test("manifests carry per-partition lineage rows") {
     import spark.implicits._
     val dir = s"/tmp/graft-resume4-${System.nanoTime()}"

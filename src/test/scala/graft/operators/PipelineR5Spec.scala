@@ -16,28 +16,47 @@ class PipelineR5Spec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("lm_perplexity matches a local recomputation for every doc") {
+  test("lm_perplexity (bigram LM) matches a local recomputation for every doc, " +
+      "identically through the broadcast AND shuffled-join paths") {
     val docs = Catalog.readTable(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> Analyzer.tokenize(r.getString(1)))
     val cf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
     val total = cf.values.sum
     val v = cf.size
-    val want = docs.map { case (id, toks) =>
-      val lps = toks.map(t => math.log((cf(t) + 1.0) / (total + v)))
+    val big = docs.flatMap(_._2.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val want = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val lps = toks.indices.map { i =>
+        if (i == 0) math.log((cf(toks(0)) + 1.0) / (total + v))
+        else math.log((big.getOrElse((toks(i - 1), toks(i)), 0L) + 1.0) /
+          (cf(toks(i - 1)) + v))
+      }
       id -> BigDecimal(math.exp(-lps.sum / lps.length))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
-    val got = TextAnalysis.lmPerplexity(spark, sfDir)
+
+    // gate spec (the Deletes.purge pattern): run once with the vocabulary
+    // under the gate (broadcast path) and once with the gate forced to 0
+    // (shuffled-join path) — bit-identical rounded output both ways
+    def run(): Array[(Long, Long, Double)] = TextAnalysis.lmPerplexity(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.length == docs.length)
-    got.foreach { case (id, n, ppl) =>
+    val gotBroadcast = run()
+    spark.conf.set("spark.graft.lm.broadcastMax", "0")
+    val gotShuffled =
+      try run() finally spark.conf.unset("spark.graft.lm.broadcastMax")
+    assert(gotBroadcast.toSeq == gotShuffled.toSeq,
+      "broadcast and shuffled LM joins must agree")
+
+    assert(gotBroadcast.length == want.size)
+    gotBroadcast.foreach { case (id, n, ppl) =>
       assert(n == docs.find(_._1 == id).get._2.length)
       assert(math.abs(ppl - want(id)) <= 1e-4, s"doc $id: $ppl vs ${want(id)}")
     }
     // perplexity is a geometric mean of 1/p: > 1 always, bounded by the
-    // rarest token's 1/p = (total+|V|)/2
-    assert(got.forall { case (_, _, p) => p > 1.0 && p <= (total + v) / 2.0 })
+    // worst smoothed event's 1/p = max unigram cf + |V|
+    assert(gotBroadcast.forall { case (_, _, p) =>
+      p > 1.0 && p <= cf.values.max + v + 1.0 })
   }
 
   test("ppl_buckets: terciles are balanced and monotone in perplexity") {

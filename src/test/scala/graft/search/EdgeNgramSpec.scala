@@ -13,13 +13,27 @@ class EdgeNgramSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("edge_ngram analysis expands tokens to leading grams; search form is standard") {
+  test("edge_ngram analysis expands tokens to leading grams; search form truncates") {
     assert(Analyzer.analyze("window", "edge_ngram").toSeq ==
       Seq("wi", "win", "wind", "windo"))
     assert(Analyzer.analyze("Join a", "edge_ngram").toSeq ==
       Seq("jo", "joi", "join")) // 'a' < min gram: dropped
-    assert(Analyzer.searchForm("edge_ngram") == "standard")
+    assert(Analyzer.searchForm("edge_ngram") == "edge_search")
     assert(Analyzer.searchForm("english") == "english")
+    // query terms past EdgeMax truncate to the longest stored gram (ADVICE
+    // r5: plain standard search analysis silently matched nothing past 5)
+    assert(Analyzer.analyze("windows", "edge_search").toSeq == Seq("windo"))
+    assert(Analyzer.analyze("Wind", "edge_search").toSeq == Seq("wind"))
+  }
+
+  test("over-long typed term matches via its EdgeMax prefix gram") {
+    val idx = IndexCache.edgeNgramIndex(spark, sfDir)
+    val full = SearchEngine.topKWandRounded(spark, idx.paths.root, Seq("windowing"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pfx = SearchEngine.topKWandRounded(spark, idx.paths.root, Seq("windo"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == pfx, "a >EdgeMax query term must behave as its EdgeMax prefix")
+    assert(full.nonEmpty)
   }
 
   test("typed prefix scores against gram postings; WAND equals exhaustive shadow") {

@@ -16,8 +16,8 @@ class SuggestRankEvalSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("phrase suggester: bigram evidence ranks the real phrase first") {
-    val idx = IndexCache.documentsIndex(spark, sfDir)
-    val got = Suggest.phrase(spark, idx.paths.root, sfDir,
+    val idx = IndexCache.bigramIndex(spark, sfDir)
+    val got = Suggest.phrase(spark, idx.paths.root,
         Seq("jion", "hash"), 5, maxDist = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(got.nonEmpty)

@@ -213,7 +213,10 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     q.stop()
 
-    // local fold: per user, sorted events split at >30-min gaps
+    // local fold: per user, sorted events split at >30-min gaps; the
+    // watermark-safe sessionizer emits EXACTLY the sessions no in-watermark
+    // event can still extend (end + gap < final watermark) — whether they
+    // closed intra-batch or by timeout
     val gapMs = 1800 * 1000L
     val byUser = events
       .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ms")
@@ -228,14 +231,60 @@ class StreamingSpec extends AnyFunSuite {
         case ((s, e, n) :: rest, t) if t - e > gapMs => (t, t, 1L) :: (s, e, n) :: rest
         case ((s, e, n) :: rest, t) => (s, math.max(e, t), n + 1) :: rest
       }.reverse
-      // closed in-batch (all but last) + trailing sessions whose timeout
-      // (end + gap) the final watermark passed
-      val inBatch = sessions.dropRight(1)
-      val timedOut = sessions.lastOption.filter(_._2 + gapMs < watermarkMs)
-      (inBatch ++ timedOut).map { case (s, e, n) => (u, s, e, n) }
+      sessions.filter(_._2 + gapMs < watermarkMs)
+        .map { case (s, e, n) => (u, s, e, n) }
     }.toSet
     assert(got == expected)
     assert(got.nonEmpty)
+  }
+
+  test("sessionizer absorbs out-of-order cross-batch events into the right session") {
+    // ADVICE r5: with watermark delay (1 h) > gap (30 min), an event may
+    // arrive in a LATER batch yet land inside a gap the old code had
+    // already emitted across — splitting the session and mis-starting the
+    // next. Feed exactly that shape over three micro-batches.
+    import spark.implicits._
+    val base = s"/tmp/graft-stream-ooo-${System.nanoTime()}"
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def feed(i: Int, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/tmp$i")
+      val src = new java.io.File(s"$base/tmp$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(s"$inDir/b$i.parquet").toPath)
+    }
+    val schema = Seq((0L, ts(0))).toDF("user_id", "ts").schema
+
+    val stream = StreamingAnalytics.sessionizeWithState(spark, inDir, schema)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(s"fmgws_ooo_${System.nanoTime()}").start()
+    try {
+      // batch 1: user 1 at 10:00, 10:10, then 11:30 (80-min gap ⇒ 2 sessions)
+      feed(0, Seq((1L, ts(600)), (1L, ts(610)), (1L, ts(690))))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER 10:31 — strictly above the watermark
+      // (11:30−1h = 10:30; a row AT the watermark is dropped by the
+      // stateful-op late filter), inside batch 1's emitted-by-the-old-code
+      // gap; extends session 1
+      feed(1, Seq((1L, ts(631))))
+      q.processAllAvailable()
+      // batch 3: unrelated user far ahead pushes the watermark to 13:00,
+      // closing both of user 1's sessions
+      feed(2, Seq((2L, ts(840))))
+      q.processAllAvailable()
+      val got = spark.sql(s"SELECT user_id, start_ms, end_ms, n_events FROM ${q.name}")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // session 1 spans 10:00–10:31 with THREE events (the late one counted,
+      // in the right session); session 2 is the single 11:30 event with its
+      // true start
+      assert(got == Set(
+        (1L, 600 * 60000L, 631 * 60000L, 3L),
+        (1L, 690 * 60000L, 690 * 60000L, 1L)))
+    } finally q.stop()
   }
 
   test("streaming session windows produce the relational sessionization totals") {
