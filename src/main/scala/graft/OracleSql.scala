@@ -1445,6 +1445,130 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact-phrase span CTE body (doc_id, s = 0-based start): shared by the
+    * span_or / span_within / span_containing twins. `alias` prefixes the
+    * join aliases so several phrases coexist in one query.
+    */
+  private def phraseSpanSelect(phrase: Seq[String], alias: String): String = {
+    val terms = phrase.flatMap(graft.core.Analyzer.tokenize(_))
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos ${alias}$i ON ${alias}$i.doc_id = ${alias}0.doc_id AND " +
+        s"${alias}$i.pos = ${alias}0.pos + $i AND ${alias}$i.term = '$t'"
+    }.mkString("\n")
+    s"""SELECT DISTINCT ${alias}0.doc_id AS doc_id, ${alias}0.pos - 1 AS s
+       |FROM pos ${alias}0
+       |$joins
+       |WHERE ${alias}0.term = '${terms.head}'""".stripMargin
+  }
+
+  /** span_or twin: union of exact-phrase matches. */
+  def spanOr(phrases: Seq[Seq[String]]): String = {
+    val ctes = phrases.zipWithIndex
+      .map { case (p, i) => s"ph$i AS (${phraseSpanSelect(p, s"p${i}_")})" }
+      .mkString(",\n")
+    val union = phrases.indices
+      .map(i => s"SELECT doc_id FROM ph$i").mkString("\nUNION\n")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc))),
+       |$ctes
+       |SELECT DISTINCT doc_id FROM ($union)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** span_within / span_containing twin (shared doc-level predicate): an
+    * exact little-phrase span [s, s+ll−1] inside a two-term window
+    * [least(a,b), greatest(a,b)] of span ≤ 1 + slop.
+    */
+  def spanContainment(little: Seq[String], bigA: String, bigB: String,
+      slop: Int): String = {
+    val ll = little.flatMap(graft.core.Analyzer.tokenize(_)).length
+    val ta = graft.core.Analyzer.tokenize(bigA).head
+    val tb = graft.core.Analyzer.tokenize(bigB).head
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc))),
+       |little AS (${phraseSpanSelect(little, "l")})
+       |SELECT DISTINCT little.doc_id AS doc_id
+       |FROM little
+       |JOIN pos a ON a.doc_id = little.doc_id AND a.term = '$ta'
+       |JOIN pos b ON b.doc_id = little.doc_id AND b.term = '$tb'
+       |WHERE greatest(a.pos, b.pos) - least(a.pos, b.pos) <= ${1 + slop}
+       |  AND least(a.pos, b.pos) - 1 <= little.s
+       |  AND little.s + ${ll - 1} <= greatest(a.pos, b.pos) - 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** intervals match twin (ordered, max_gaps): an in-order chain of the
+    * terms whose interval width minus term count stays ≤ max_gaps —
+    * existence is chain existence (the engine's greedy minimizes width per
+    * head, so doc-level sets coincide). Two-term form.
+    */
+  def intervalsMatch(text: String, maxGaps: Int): String = {
+    val terms = graft.core.Analyzer.tokenize(text)
+    require(terms.length == 2, "two-term oracle form")
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.term = '${terms(1)}'
+       |WHERE p0.term = '${terms(0)}' AND p1.pos > p0.pos
+       |  AND (p1.pos - p0.pos + 1) - 2 <= $maxGaps
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** intervals all_of twin (ordered): an exact `phrase` occurrence followed
+    * by `next`, with ≤ maxGaps positions between the phrase's end and
+    * `next`'s position.
+    */
+  def intervalsAllOf(phrase: Seq[String], next: String, maxGaps: Int): String = {
+    val n = phrase.flatMap(graft.core.Analyzer.tokenize(_)).length
+    val tn = graft.core.Analyzer.tokenize(next).head
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc))),
+       |ph AS (${phraseSpanSelect(phrase, "p")})
+       |SELECT DISTINCT ph.doc_id AS doc_id
+       |FROM ph
+       |JOIN pos nx ON nx.doc_id = ph.doc_id AND nx.term = '$tn'
+       |WHERE nx.pos - 1 > ph.s + ${n - 1}
+       |  AND (nx.pos - 1) - (ph.s + ${n - 1}) - 1 <= $maxGaps
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** intervals any_of-in-all_of twin: (any of `alts`) immediately followed
+    * by `next` (ordered, max_gaps 0).
+    */
+  def intervalsAnyOf(alts: Seq[String], next: String): String = {
+    val ts = alts.map(a => graft.core.Analyzer.tokenize(a).head)
+    val tn = graft.core.Analyzer.tokenize(next).head
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(t) + 1),
+       |             i -> {'pos': i, 'term': t[i]})) AS u
+       |    FROM ($toksrc)))
+       |SELECT DISTINCT p0.doc_id AS doc_id
+       |FROM pos p0
+       |JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       |  AND p1.term = '$tn'
+       |WHERE p0.term IN ${inList(ts)}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** match_phrase_prefix twin: exact adjacent leading terms, last position
     * holds any token with the prefix. The engine caps dictionary expansion
     * at max_expansions in term order — the fixture vocabulary (≤31 terms)

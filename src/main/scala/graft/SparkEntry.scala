@@ -478,6 +478,52 @@ object SparkEntry {
       graft.index.PositionalIndex.phraseMatchSloppy(s, idx.paths.root,
         Seq("join", "hash"), 2, idx.meta.buckets)
     }),
+    // Lucene span_or: 'join hash' OR 'merge sort' (union clause, one scan)
+    "span_or" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.spanOr(s, idx.paths.root,
+        Seq(Seq("join", "hash"), Seq("merge", "sort")), idx.meta.buckets)
+    }),
+    // Lucene span_within: 'hash' inside a span_near(join, scan, slop=6) window
+    "span_within" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.spanWithin(s, idx.paths.root,
+        Seq("hash"), "join", "scan", 6, idx.meta.buckets)
+    }),
+    // Lucene span_containing: a span_near(join, window, slop=8) window that
+    // contains a 'hash' occurrence
+    "span_containing" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.PositionalIndex.spanContaining(s, idx.paths.root,
+        "join", "window", 8, Seq("hash"), idx.meta.buckets)
+    }),
+    // ES intervals match: 'join … scan', in order, ≤ 3 gap positions
+    "intervals_match" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      graft.index.Intervals.filterDocs(s, idx.paths.root,
+        graft.index.Intervals.IMatch("join scan", maxGaps = 3, ordered = true),
+        idx.meta.buckets)
+    }),
+    // ES intervals all_of: exact phrase 'join hash' then 'scan', in order,
+    // ≤ 10 positions between the phrase and 'scan'
+    "intervals_all_of" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      import graft.index.Intervals._
+      graft.index.Intervals.filterDocs(s, idx.paths.root,
+        IAllOf(Seq(IMatch("join hash", maxGaps = 0, ordered = true),
+          IMatch("scan")), maxGaps = 10, ordered = true),
+        idx.meta.buckets)
+    }),
+    // ES intervals any_of inside all_of: ('join' | 'merge') immediately
+    // followed by 'hash'
+    "intervals_any_of" -> ((s, dir) => {
+      val idx = IndexCache.positionalIndex(s, dir)
+      import graft.index.Intervals._
+      graft.index.Intervals.filterDocs(s, idx.paths.root,
+        IAllOf(Seq(IAnyOf(Seq(IMatch("join"), IMatch("merge"))),
+          IMatch("hash")), maxGaps = 0, ordered = true),
+        idx.meta.buckets)
+    }),
     // ES rescore: top-window BM25 re-ranked by a doc-length prior
     "bm25_rescore" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -842,6 +888,12 @@ object SparkEntry {
     "phrase_topk" -> OracleSql.phraseTopK(Seq("join", "hash"), K),
     "phrase_slop" -> OracleSql.phraseMatchSloppy(Seq("join", "hash"), 2),
     "span_first" -> OracleSql.spanFirst(Seq("join", "hash"), 12),
+    "span_or" -> OracleSql.spanOr(Seq(Seq("join", "hash"), Seq("merge", "sort"))),
+    "span_within" -> OracleSql.spanContainment(Seq("hash"), "join", "scan", 6),
+    "span_containing" -> OracleSql.spanContainment(Seq("hash"), "join", "window", 8),
+    "intervals_match" -> OracleSql.intervalsMatch("join scan", 3),
+    "intervals_all_of" -> OracleSql.intervalsAllOf(Seq("join", "hash"), "scan", 10),
+    "intervals_any_of" -> OracleSql.intervalsAnyOf(Seq("join", "merge"), "hash"),
     "span_not" -> OracleSql.spanNot(Seq("join"), Seq("hash"), 1, 1),
     "phrase_prefix" -> OracleSql.phrasePrefix(Seq("join"), "h"),
     "phrase_near_unordered" -> OracleSql.spanNearUnordered(Seq("join", "hash"), 2),

@@ -380,6 +380,103 @@ object PositionalIndex {
       .orderBy($"doc_id")
   }
 
+  /** Lucene `span_or`: docs where ANY of the phrases matches exactly —
+    * the union clause of the span family. ONE pruned positional scan over
+    * all phrases' terms (not a scan per phrase), per-doc check of each
+    * phrase against the same position map. Filter context, ordered.
+    */
+  def spanOr(spark: SparkSession, root: String, phrases: Seq[Seq[String]],
+      buckets: Int): DataFrame = {
+    import spark.implicits._
+    val analyzed = phrases.map(_.flatMap(Analyzer.tokenize(_)))
+    require(analyzed.nonEmpty && analyzed.forall(_.nonEmpty), "empty span_or")
+    val allTerms = analyzed.flatten.distinct
+    val qBuckets = allTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(allTerms: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        it.foreach { case (_, t, ps) => byTerm(t) = ps }
+        if (analyzed.exists(p => phraseStarts(p, byTerm).nonEmpty))
+          Iterator.single(doc)
+        else Iterator.empty
+      }
+      .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared predicate of [[spanWithin]] / [[spanContaining]] (the doc-level
+    * result sets of the two queries coincide — they differ in WHICH spans
+    * ES returns/scores, not in which docs match): an exact `little` phrase
+    * span [s, e] lies inside a big two-term window — one position a of
+    * `bigA`, one b of `bigB`, window [min(a,b), max(a,b)] of span
+    * ≤ 1 + slop (the span_near convention for two clauses), with
+    * min ≤ s and e ≤ max. Exact per doc: two-pointer-free pairwise check
+    * over the (doc-length-bounded) position lists, after the same pruned
+    * scan + doc-keyed group as every positional operator.
+    */
+  private def spanContainment(spark: SparkSession, root: String,
+      little: Seq[String], bigA: String, bigB: String, slop: Int,
+      buckets: Int): DataFrame = {
+    import spark.implicits._
+    val lit = little.flatMap(Analyzer.tokenize(_))
+    val ta = Analyzer.tokenize(bigA).head
+    val tb = Analyzer.tokenize(bigB).head
+    require(lit.nonEmpty, "span containment needs a little phrase")
+    val ll = lit.length
+    val maxSpan = 1 + slop
+    val allTerms = (lit :+ ta :+ tb).distinct
+    val qBuckets = allTerms.map(Blocks.bucketOf(_, buckets)).distinct
+    spark.read.parquet(pathOf(root))
+      .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
+        "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
+      .filter($"bucket".isin(qBuckets: _*) && $"term".isin(allTerms: _*))
+      .as[PosBlock]
+      .flatMap(b => decode(b).map { case (doc, ps) => (doc, b.term, ps) })
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val byTerm = scala.collection.mutable.Map[String, Array[Int]]()
+        it.foreach { case (_, t, ps) => byTerm(t) = ps }
+        val starts = phraseStarts(lit, byTerm)
+        val as = byTerm.getOrElse(ta, Array.emptyIntArray)
+        val bs = byTerm.getOrElse(tb, Array.emptyIntArray)
+        val ok = starts.nonEmpty && as.nonEmpty && bs.nonEmpty &&
+          starts.exists { s =>
+            val e = s + ll - 1
+            as.exists(a => bs.exists { b =>
+              val lo = math.min(a, b); val hi = math.max(a, b)
+              hi - lo <= maxSpan && lo <= s && e <= hi
+            })
+          }
+        if (ok) Iterator.single(doc) else Iterator.empty
+      }
+      .toDF("doc_id")
+      .transform(Deletes.filterLive(_, root))
+      .orderBy($"doc_id")
+  }
+
+  /** Lucene `span_within`: the little (exact-phrase) span must lie entirely
+    * inside a big span_near([bigA, bigB], slop) window. Filter context.
+    */
+  def spanWithin(spark: SparkSession, root: String, little: Seq[String],
+      bigA: String, bigB: String, slop: Int, buckets: Int): DataFrame =
+    spanContainment(spark, root, little, bigA, bigB, slop, buckets)
+
+  /** Lucene `span_containing`: a big span_near([bigA, bigB], slop) window
+    * must contain a little (exact-phrase) span. Same doc-level predicate as
+    * [[spanWithin]] — ES's two queries differ only in which of the two span
+    * sets is emitted for scoring.
+    */
+  def spanContaining(spark: SparkSession, root: String, bigA: String,
+      bigB: String, slop: Int, little: Seq[String], buckets: Int): DataFrame =
+    spanContainment(spark, root, little, bigA, bigB, slop, buckets)
+
   /** ES/Lucene `span_near` with `in_order: false`: the doc matches when one
     * position per term (all distinct) fits inside a window of span
     * ≤ (n−1) + slop, in ANY order — the unordered complement of
