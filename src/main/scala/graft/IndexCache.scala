@@ -243,6 +243,22 @@ object IndexCache {
       res
     }
 
+  private val completionBuilt = scala.collection.mutable.Map[String, String]()
+
+  /** Completion-suggester artifact over `documents` (per-(context, term)
+    * df, context = `source`), built once per sfDir — the FST-analog table
+    * Suggest.completion probes.
+    */
+  def completionPath(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      completionBuilt.getOrElseUpdate(sfDir, {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/tmp/graft-index-$jvmTag/$key/completion"
+        graft.search.Suggest.buildCompletion(spark, sfDir, path)
+        path
+      })
+    }
+
   private val posBuilt = scala.collection.mutable.Set[String]()
 
   /** Positional index over the same corpus/root (built on first use). */

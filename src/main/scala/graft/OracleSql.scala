@@ -1569,6 +1569,22 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Completion-suggester twin: per-(context, term) df over distinct doc
+    * tokens, prefix + context filtered, top-n by (df desc, term asc) — the
+    * artifact build + probe collapsed into one query.
+    */
+  def suggestCompletion(prefix: String, context: String, n: Int): String =
+    s"""WITH tok AS (
+       |  SELECT source AS context, doc_id,
+       |         unnest(list_distinct(${toks("text")})) AS term
+       |  FROM documents)
+       |SELECT term, count(*) AS df
+       |FROM tok
+       |WHERE context = '$context' AND term LIKE '$prefix%'
+       |GROUP BY term
+       |ORDER BY df DESC, term ASC
+       |LIMIT $n""".stripMargin
+
   /** match_phrase_prefix twin: exact adjacent leading terms, last position
     * holds any token with the prefix. The engine caps dictionary expansion
     * at max_expansions in term order — the fixture vocabulary (≤31 terms)

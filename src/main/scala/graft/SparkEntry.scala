@@ -673,6 +673,11 @@ object SparkEntry {
       graft.search.Suggest.phrase(s, idx.paths.root, Seq("jion", "hash"), 5,
         maxDist = 2)
     }),
+    // ES completion suggester with a category context: top-5 's…' terms in
+    // source 'src1' by df, probed from the build-time completion artifact
+    "suggest_completion" -> ((s, dir) =>
+      graft.search.Suggest.completion(s,
+        IndexCache.completionPath(s, dir), "s", "src1", 5)),
     // ES _rank_eval: precision@k / MRR / NDCG@k against derived judgments
     "rank_eval" -> ((s, dir) => {
       val idx = IndexCache.documentsIndex(s, dir)
@@ -933,6 +938,7 @@ object SparkEntry {
     "agg_multi_terms" -> OracleSql.aggMultiTerms(10),
     "suggest_phrase" -> OracleSql.suggestPhrase(Seq("jion", "hash"), 5,
       maxDist = 2, maxExp = 10),
+    "suggest_completion" -> OracleSql.suggestCompletion("s", "src1", 5),
     "rank_eval" -> OracleSql.rankEval(Seq("join"), K,
       judgmentTerms = Seq("join", "window", "vector")),
     "agg_adjacency" -> OracleSql.aggAdjacency,

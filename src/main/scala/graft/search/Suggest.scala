@@ -69,4 +69,40 @@ object Suggest {
       .limit(n)
       .select($"cand1", $"cand2", round($"s", 4).as("score_r4"))
   }
+
+  /** Build the ES `completion`-field analog as an artifact: per (context,
+    * term) document frequency, where the suggestion inputs are the corpus's
+    * analyzed tokens and the context is a metadata column (ES completion
+    * contexts are exactly such category tags). ES keeps this as an FST per
+    * shard; columnar parquet sorted by (context, term) gives the same
+    * lookup shape distributed — the prefix probe is a row-group-pruned
+    * range scan, built once at index time like the dictionary.
+    */
+  def buildCompletion(spark: SparkSession, sfDir: String, outPath: String,
+      contextCol: String = "source"): Unit = {
+    import spark.implicits._
+    Catalog.readTable(spark, sfDir, "documents")
+      .select(col(contextCol).as("context"), $"doc_id",
+        explode(array_distinct(graft.core.Analyzer.tokensCol($"text"))).as("term"))
+      .groupBy($"context", $"term")
+      .agg(count(lit(1)).as("df"))
+      .sortWithinPartitions($"context", $"term")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** ES `completion` suggester with a category context: top-`n` stored
+    * suggestions with the typed `prefix`, restricted to `context`, ranked
+    * by document frequency (ES ranks by weight; df is the corpus-derived
+    * weight here), ties by term. Per-query cost: one pruned artifact scan
+    * (context equality + prefix pushed) + a top-n — never a corpus pass.
+    */
+  def completion(spark: SparkSession, completionPath: String, prefix: String,
+      context: String, n: Int = 5): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(completionPath)
+      .filter($"context" === context && $"term".startsWith(prefix))
+      .orderBy($"df".desc, $"term".asc)
+      .limit(n)
+      .select($"term", $"df")
+  }
 }

@@ -32,6 +32,30 @@ class SuggestRankEvalSpec extends AnyFunSuite {
     assert(got.forall(_._3 < 0.0))
   }
 
+  test("completion suggester: context-scoped prefix top-n from the artifact, filters pushed") {
+    val path = IndexCache.completionPath(spark, sfDir)
+    val df = Suggest.completion(spark, path, "s", "src1", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StartsWith"),
+      s"prefix + context must be pushed into the artifact scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"completion probe must not scan the corpus:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 5 && got.forall(_._1.startsWith("s")))
+    // ranked by df desc then term asc
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    }, got.toSeq.toString)
+    // context scoping: recompute src1's df for the top term locally
+    val (top, topDf) = got.head
+    val want = Catalog.readTable(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .count(r => r.getString(0) == "src1" &&
+        Analyzer.tokenize(r.getString(1)).contains(top))
+    assert(topDf == want.toLong, s"df($top) = $topDf vs $want")
+  }
+
   test("rank_eval metrics match an independent local recomputation") {
     val idx = IndexCache.documentsIndex(spark, sfDir)
     val k = 10
