@@ -39,6 +39,8 @@ object Bench {
     IndexCache.synonymsIndex(spark, sfDir)               // index-time synonyms
     IndexCache.edgeNgramIndex(spark, sfDir)              // search_as_you_type grams
     IndexCache.reindexedSource(spark, sfDir, "src2")     // _reindex target
+    IndexCache.bigramIndex(spark, sfDir)                 // bigram-LM artifact
+    IndexCache.completionPath(spark, sfDir)              // completion artifact
 
     // a failed query must never masquerade as a fast timing: it reports -1
     // and lands in failed_queries (ADVICE r1)

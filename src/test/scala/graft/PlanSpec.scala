@@ -87,6 +87,14 @@ class PlanSpec extends AnyFunSuite {
       s"suggest_phrase result must not depend on a corpus scan:\n$sp")
   }
 
+  test("substring dedup has no pairwise join and partial-aggregates the shingle stats") {
+    val p = plan(graft.operators.Dedup.substringDups(spark, sfDir, 12))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"substring dedup must never go all-pairs:\n$p")
+    assert(p.contains("HashAggregate") && p.toLowerCase.contains("partial"),
+      s"shingle stats must partial-aggregate map-side:\n$p")
+  }
+
   test("range-filter metadata scan pushes the predicate; field sort is TakeOrdered") {
     import org.apache.spark.sql.functions.col
     val allowed = spark.read.parquet(s"$sfDir/documents.parquet")

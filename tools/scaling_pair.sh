@@ -24,6 +24,8 @@ run_w() {
     --conf spark.sql.shuffle.partitions=$N \
     --conf spark.io.compression.codec=${IO_CODEC:-zstd} \
     --conf spark.sql.parquet.compression.codec=${PQ_CODEC:-zstd} \
+    --conf spark.io.compression.zstd.level=${ZSTD_LEVEL:-1} \
+    --conf spark.hadoop.parquet.compression.codec.zstd.level=${PQ_ZSTD_LEVEL:-3} \
     --class graft.bench.ScalingBench "$JAR" run $N 64000 250 1 2>/dev/null \
     | grep -E 'rep1' | sed -E 's/.*turns\/sec=([0-9.]+) \| (.*)/\1|\2/'
 }
