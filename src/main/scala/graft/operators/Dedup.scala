@@ -282,14 +282,17 @@ object Dedup {
           .otherwise(expr("array()"))))
       .toDF("doc_id", "pos", "h")
       .select($"doc_id", $"pos".cast("long").as("pos"), $"h")
-    // per-hash: lowest doc + cross-doc duplication flag (exact, 2-level agg)
-    val hs = grams.groupBy($"h")
-      .agg(min($"doc_id").as("m1"), countDistinct($"doc_id").as("nd"))
-    val dup = hs.filter($"nd" >= 2).select($"h", $"m1")
-    // second-lowest doc per duplicated hash (for spans inside m1 itself)
-    val m2 = grams.join(dup, "h").filter($"doc_id" > $"m1")
-      .groupBy($"h").agg(min($"doc_id").as("m2"))
-    val occ = grams.join(dup, "h").join(m2, Seq("h"), "left")
+    // per-hash (m1, m2) = two lowest DISTINCT docs, in ONE constant-state
+    // typed aggregation (two longs per key, partial-merged map-side — never
+    // a per-hash doc list, and no second corpus pass for the second-min);
+    // a hash is cross-doc duplicated iff m2 is set
+    val dup = grams.select($"h", $"doc_id").as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new TwoMinDistinctAgg().toColumn.name("mm"))
+      .filter(_._2._2 != Long.MaxValue)
+      .map { case (h, (m1, m2)) => (h, m1, m2) }
+      .toDF("h", "m1", "m2")
+    val occ = grams.join(dup, "h")
       .select($"doc_id", $"pos",
         when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("dup_src"))
     // gaps-and-islands: consecutive duplicated positions share pos − rn
@@ -302,6 +305,34 @@ object Dedup {
       .filter($"end_tok" - $"start_tok" + 1 >= minTokens)
       .select($"doc_id", $"start_tok", $"end_tok", $"dup_of")
       .orderBy($"doc_id", $"start_tok")
+  }
+
+  /** Two smallest DISTINCT values in one pass — the [[substringDups]]
+    * shingle-stats aggregator. State = two longs regardless of how many
+    * docs share the shingle (boilerplate shared by millions of docs still
+    * costs 16 bytes of state), mergeable in any order, so Spark runs it as
+    * a partial+final object hash aggregate. `Long.MaxValue` = unset.
+    */
+  private final class TwoMinDistinctAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), (Long, Long), (Long, Long)] {
+    override def zero: (Long, Long) = (Long.MaxValue, Long.MaxValue)
+    private def add(b: (Long, Long), d: Long): (Long, Long) =
+      if (d == b._1 || d == b._2) b
+      else if (d < b._1) (d, b._1)
+      else if (d < b._2) (b._1, d)
+      else b
+    override def reduce(b: (Long, Long), in: (String, Long)): (Long, Long) =
+      add(b, in._2)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = {
+      val x = if (b._1 == Long.MaxValue) a else add(a, b._1)
+      if (b._2 == Long.MaxValue) x else add(x, b._2)
+    }
+    override def finish(r: (Long, Long)): (Long, Long) = r
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]()
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
