@@ -656,6 +656,12 @@ object SparkEntry {
       Embeddings.cosineTopKFiltered(s, dir, 0L, K, labelEq = 3)),
     // CCNet-style unigram-LM perplexity filter (corpus-trained, add-one)
     "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(s, dir)),
+    // the artifact-reading twin: dictionary cf + bigram_counts + corpus
+    // stats instead of per-query count aggregations — ONE corpus pass
+    "lm_perplexity_indexed" -> ((s, dir) => {
+      val idx = IndexCache.bigramIndex(s, dir)
+      TextAnalysis.lmPerplexityIndexed(s, idx.paths.root, dir)
+    }),
     // CCNet head/middle/tail: perplexity terciles over the same LM
     "ppl_buckets" -> ((s, dir) => TextAnalysis.pplBuckets(s, dir)),
     // DoReMi-style domain-mixture sampling to target source weights
@@ -931,6 +937,8 @@ object SparkEntry {
     "bm25_terms_set" -> OracleSql.termsSet(Seq("hash", "stream", "sort"), K),
     "knn_filtered" -> OracleSql.knnFiltered(0L, K, labelEq = 3),
     "lm_perplexity" -> OracleSql.lmPerplexity,
+    // identical model, counts read from build artifacts — same twin
+    "lm_perplexity_indexed" -> OracleSql.lmPerplexity,
     "ppl_buckets" -> OracleSql.pplBuckets,
     "domain_mix" -> OracleSql.domainMix(DomainTargets),
     "redact_patterns" -> OracleSql.redactEvents,

@@ -130,6 +130,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** [[lmPerplexity]] against the INDEX'S BUILD ARTIFACTS — the shape the
+    * scaladoc above promises at 100 TB, as code: the vocabulary counts come
+    * from the dictionary (`cf` is exactly the corpus term count), the
+    * bigram counts from the [[graft.index.BigramLm]] table, and the total
+    * from corpus stats — so the per-query cost is ONE corpus tokenize pass
+    * plus artifact joins, instead of re-aggregating both count tables per
+    * query. Same model, same numbers (the artifacts hold the identical
+    * counts), same oracle. The broadcast gate applies to the dictionary
+    * join exactly as to the inline path.
+    */
+  def lmPerplexityIndexed(spark: SparkSession, root: String,
+      sfDir: String): DataFrame = {
+    import graft.io.Catalog.IndexPaths
+    import spark.implicits._
+    val paths = IndexPaths(root)
+    val stats = Catalog.readCorpusStats(spark, paths)
+    val dict = Catalog.readDictionary(spark, paths).toDF()
+      .select($"term", $"cf")
+    val vocab = dict.count()
+    val broadcastMax = spark.conf.getOption("spark.graft.lm.broadcastMax")
+      .map(_.toLong).getOrElse(DefaultLmBroadcastMax)
+    def gated(df: DataFrame): DataFrame =
+      if (vocab <= broadcastMax) broadcast(df) else df
+    val big = spark.read.parquet(paths.bigrams)
+    val units = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", Analyzer.tokensCol($"text").as("t"))
+      .filter(size($"t") > 0)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 1), i -> struct(" +
+          "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE t[i-1] END AS w1, " +
+          "t[i] AS w2))")).as("u"))
+      .select($"doc_id", $"u.w1", $"u.w2")
+    units
+      .join(gated(dict.select($"term".as("w2"), $"cf".as("cf2"))), Seq("w2"))
+      .join(gated(dict.select($"term".as("w1"), $"cf".as("cf1"))), Seq("w1"), "left")
+      .join(big, Seq("w1", "w2"), "left")
+      .select($"doc_id",
+        when($"w1".isNull,
+          log(($"cf2" + lit(1.0)) / (lit(stats.total_tokens.toDouble) + lit(vocab.toDouble))))
+          .otherwise(log((coalesce($"big", lit(0L)) + lit(1.0)) / ($"cf1" + lit(vocab.toDouble))))
+          .as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(exp(-avg($"lp")), 4).as("ppl_r4"))
+      .orderBy($"doc_id")
+  }
+
   /** CCNet's head/middle/tail split: documents bucketed by perplexity
     * terciles of [[lmPerplexity]] (Wenzek et al. 2020 §4.4 — head = closest
     * to the LM, the slice CCNet keeps by default). Thresholds interpolate

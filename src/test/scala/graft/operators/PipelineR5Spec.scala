@@ -59,6 +59,16 @@ class PipelineR5Spec extends AnyFunSuite {
       p > 1.0 && p <= cf.values.max + v + 1.0 })
   }
 
+  test("artifact-reading perplexity equals the inline-count path row for row") {
+    val idx = graft.IndexCache.bigramIndex(spark, sfDir)
+    val inline = TextAnalysis.lmPerplexity(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = TextAnalysis.lmPerplexityIndexed(spark, idx.paths.root, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == inline,
+      "dictionary/bigram artifacts must hold the exact inline counts")
+  }
+
   test("ppl_buckets: terciles are balanced and monotone in perplexity") {
     val rows = TextAnalysis.pplBuckets(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
