@@ -127,19 +127,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ref.nonEmpty)
 
     @volatile var stop = false
+    val done = new java.util.concurrent.atomic.AtomicLong(0)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val reader = new Thread(() =>
       try {
         while (!stop) {
           val got = hits(SearchEngine.topKWand(spark, root, q, 10))
           if (got != ref) errs.add(s"mixed/stale result: $got")
+          done.incrementAndGet()
         }
       } catch { case e: Throwable => errs.add(s"query failed mid-swap: $e") })
     reader.start()
     try
-      // each compact publishes postings/dictionary/meta versions; with one
-      // retained generation the reader must always resolve a complete index
-      (1 to 3).foreach(_ => graft.index.Compaction.compact(spark, root))
+      // each compact publishes postings/dictionary/meta versions; with ONE
+      // retained generation the contract is: a reader that resolved before
+      // a swap survives THAT swap (its generation is deleted only at the
+      // swap after next). So the test must not let two publishes land
+      // inside one in-flight query: wait for two completed reader queries
+      // between compacts (queries are serialized on the reader thread, so
+      // anything in flight at compact k has finished before compact k+1).
+      (1 to 3).foreach { _ =>
+        val mark = done.get()
+        graft.index.Compaction.compact(spark, root)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (done.get() < mark + 2 && errs.isEmpty &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+      }
     finally { stop = true; reader.join() }
     assert(errs.isEmpty, s"concurrent reader saw: ${errs.toArray.mkString("; ")}")
     // pointer protocol bookkeeping: one previous generation retained, older gone
