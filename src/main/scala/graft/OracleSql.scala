@@ -952,6 +952,20 @@ object OracleSql {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Inactivity-gap sessionization over events (30-minute gap). */
+  /** _field_caps twin from DuckDB's OWN catalog — a genuinely independent
+    * source: the engine reflects the parquet footer through Spark's schema,
+    * the oracle asks information_schema over the same views.
+    */
+  def fieldCaps(tables: Seq[String]): String = {
+    val in = tables.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""SELECT table_name, column_name AS field, data_type,
+       |       (data_type = 'VARCHAR') AS searchable,
+       |       (NOT data_type LIKE '%[]') AS aggregatable
+       |FROM information_schema.columns
+       |WHERE table_name IN $in
+       |ORDER BY table_name, field""".stripMargin
+  }
+
   val sessionizeEvents: String =
     """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM (

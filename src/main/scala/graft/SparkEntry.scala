@@ -373,6 +373,10 @@ object SparkEntry {
     "percentiles_value" -> ((s, dir) => Relational.percentilesValue(s, dir)),
     "json_k" -> ((s, dir) => Relational.jsonK(s, dir)),
     "sessionize_events" -> ((s, dir) => Relational.sessionizeEvents(s, dir)),
+    // ES _field_caps: schema-derived field capabilities, zero data read;
+    // oracle = DuckDB's own information_schema (independent catalog)
+    "field_caps" -> ((s, dir) =>
+      Relational.fieldCaps(s, dir, Seq("documents", "events", "embeddings"))),
     "window_rank" -> ((s, dir) => Relational.topLineitemsPerSupplier(s, dir)),
     "pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "revenue_by_segment" -> ((s, dir) => Relational.revenueBySegment(s, dir)),
@@ -874,6 +878,7 @@ object SparkEntry {
     "query_fuzzy" -> OracleSql.queryFuzzy("joln"),
     "json_k" -> OracleSql.jsonK,
     "sessionize_events" -> OracleSql.sessionizeEvents,
+    "field_caps" -> OracleSql.fieldCaps(Seq("documents", "events", "embeddings")),
     "window_rank" -> OracleSql.windowRank,
     "pricing_summary" -> OracleSql.pricingSummary,
     "revenue_by_segment" -> OracleSql.revenueBySegment,

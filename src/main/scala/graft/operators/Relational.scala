@@ -168,6 +168,43 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** ES `_field_caps` analog: per-table field capabilities — field name,
+    * type, searchable (text fields), aggregatable (scalar fields) — from
+    * the SOURCE SCHEMA, no data read (ES answers this from mappings; here
+    * the parquet footer is the mapping). Type names use the ANSI spellings
+    * so the oracle can come from DuckDB's information_schema — a genuinely
+    * independent source (the engine reflects Spark's schema, the oracle
+    * asks the other engine's catalog).
+    */
+  def fieldCaps(spark: SparkSession, sfDir: String,
+      tables: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    def ansi(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case StringType => "VARCHAR"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      // both Spark timestamp flavors spell TIMESTAMP in ANSI/DuckDB terms
+      // (NTZ is what a timezone-less parquet column reads back as)
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case ArrayType(e, _) => ansi(e) + "[]"
+      case other => other.sql
+    }
+    tables.sorted.flatMap { t =>
+      Catalog.readTable(spark, sfDir, t).schema.fields.toSeq
+        .map(f => (t, f.name, ansi(f.dataType)))
+    }
+      .map { case (t, f, ty) =>
+        (t, f, ty, ty == "VARCHAR", !ty.endsWith("[]"))
+      }
+      .toDF("table_name", "field", "data_type", "searchable", "aggregatable")
+      .orderBy($"table_name", $"field")
+  }
+
   /** Broadcast fact-dim join + top-N: suppliers by shipped quantity. */
   def topSuppliers(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
     import spark.implicits._
