@@ -138,9 +138,21 @@ object Indexer {
     res
   }
 
+  // per-JVM memo keyed by (resolved path, fingerprint) — published meta
+  // generations are immutable (Catalog's artifact-memo contract); before
+  // this every indexed query paid a one-row parquet job for the meta read
+  private val metaMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), IndexMeta]
+
   def readMeta(spark: SparkSession, root: String): IndexMeta = {
+    val p = IndexPaths(root).meta
+    metaMemo.getOrElseUpdate((p, graft.io.Catalog.fingerprint(p)),
+      readMetaUncached(spark, p))
+  }
+
+  private def readMetaUncached(spark: SparkSession, resolved: String): IndexMeta = {
     import spark.implicits._
-    val df = spark.read.parquet(IndexPaths(root).meta)
+    val df = spark.read.parquet(resolved)
     // older meta parquet lacks later columns — default them (pre-r3:
     // last_batch_id; pre-r5: analyzer)
     var full = df

@@ -155,9 +155,51 @@ object Catalog {
   def writeDictionary(dict: Dataset[DictEntry], paths: IndexPaths): Unit =
     dict.write.mode(SaveMode.Overwrite).parquet(paths.dictionary)
 
+  // ---- per-JVM artifact-metadata memos ------------------------------------
+  // Published artifact generations are IMMUTABLE (the versioned-pointer
+  // protocol above: a republish stages a new _vN and flips the pointer, it
+  // never rewrites a resolved dir in place), so tiny per-query metadata
+  // reads — corpus stats (1 row), meta (1 row), and a byte-gated dictionary
+  // — memoize safely per JVM, keyed by (resolved path, file fingerprint):
+  // a republish resolves to a new path, an in-place rewrite (tests, crash
+  // debris) changes the fingerprint; either way the memo misses and
+  // re-reads. Before this, every indexed query paid one Spark job per
+  // artifact read — pure fixed overhead repeated ~70× per bench run
+  // (an ES node holds exactly this state — segment dictionaries and
+  // stats — resident per segment for the same reason). Query RESULTS are
+  // never cached: postings scans and scoring run from parquet per query.
+  private val statsMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), CorpusStats]
+  private val dictMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), Array[DictEntry]]
+
+  /** Dictionaries at or under this many parquet bytes are served from the
+    * per-JVM memo (as a driver-local relation — lookups and expansions scan
+    * no files); larger dictionaries always read through parquet. ~8 MB of
+    * zstd parquet ≈ low-millions of terms; a 100 TB corpus dictionary
+    * (Heaps ~10^7+ rows) stays on the parquet path.
+    */
+  val DefaultDictCacheMaxBytes: Long = 8L << 20
+
+  /** The dictionary rows when the byte gate admits them, else None. */
+  def dictEntriesCached(spark: SparkSession,
+      paths: IndexPaths): Option[Seq[DictEntry]] = {
+    import spark.implicits._
+    val p = paths.dictionary
+    val gate = spark.conf.getOption("spark.graft.dict.cacheMaxBytes")
+      .map(_.toLong).getOrElse(DefaultDictCacheMaxBytes)
+    val bytes = Fs.listDataFiles(p).map(_._2).sum
+    if (bytes > gate) None
+    else Some(dictMemo.getOrElseUpdate((p, fingerprint(p)),
+      spark.read.parquet(p).as[DictEntry].collect()).toSeq)
+  }
+
   def readDictionary(spark: SparkSession, paths: IndexPaths): Dataset[DictEntry] = {
     import spark.implicits._
-    spark.read.parquet(paths.dictionary).as[DictEntry]
+    dictEntriesCached(spark, paths) match {
+      case Some(entries) => spark.createDataset(entries) // local relation
+      case None => spark.read.parquet(paths.dictionary).as[DictEntry]
+    }
   }
 
   def writeCorpusStats(stats: Dataset[CorpusStats], paths: IndexPaths): Unit =
@@ -165,7 +207,9 @@ object Catalog {
 
   def readCorpusStats(spark: SparkSession, paths: IndexPaths): CorpusStats = {
     import spark.implicits._
-    spark.read.parquet(paths.corpusStats).as[CorpusStats].head()
+    val p = paths.corpusStats
+    statsMemo.getOrElseUpdate((p, fingerprint(p)),
+      spark.read.parquet(p).as[CorpusStats].head())
   }
 
   /** S1 output: the docID-numbered, range-sorted corpus. */

@@ -77,14 +77,19 @@ object Hygiene {
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
     val docs = Catalog.readTable(spark, sfDir, "documents")
+    // per-doc dedup is array_distinct BEFORE the explode — row-local, so the
+    // corpus side never shuffles (the old `.distinct()` on the exploded
+    // (doc_id, s) pairs exchanged every training shingle just to dedupe
+    // within each doc — guide §2.4: a distinct on data that is already
+    // unique per key it is later grouped by). Same rows out: the per-doc
+    // shingle SET is what both the join and the count consume.
     def shingles(df: DataFrame): DataFrame =
       df.select($"doc_id", Analyzer.tokensCol($"text").as("t"))
         .filter(size($"t") >= n) // sequence(0, <0) would run descending
-        .select($"doc_id", explode(expr(
+        .select($"doc_id", explode(array_distinct(expr(
           s"transform(sequence(0, size(t) - $n), i -> " +
             (0 until n).map(j => s"element_at(t, i + ${j + 1})").mkString("concat_ws(' ', ", ", ", ")") +
-            ")")).as("s"))
-        .distinct()
+            ")"))).as("s"))
     val evalShingles = shingles(docs.filter($"doc_id" % 97 === 0))
       .select($"s").distinct()
     shingles(docs.filter($"doc_id" % 97 =!= 0))

@@ -42,11 +42,19 @@ object SearchEngine {
     val terms = QueryModel.analyzedTerms(rawTerms, qAnalyzer, syn)
     if (terms.isEmpty) return QueryModel(Array.empty, Array.empty, 0.0, k)
     val stats = Catalog.readCorpusStats(spark, paths)
-    val dfByTerm = Catalog.readDictionary(spark, paths)
-      .filter($"term".isin(terms: _*))
-      .collect()
-      .map(d => d.term -> d.df)
-      .toMap
+    // byte-gated dictionary memo (Catalog.dictEntriesCached): the per-term
+    // df lookup costs zero Spark jobs when the dictionary fits the gate;
+    // above it, the old filtered parquet scan
+    val termSet = terms.toSet
+    val dfByTerm = Catalog.dictEntriesCached(spark, paths) match {
+      case Some(entries) =>
+        entries.iterator.filter(e => termSet(e.term)).map(e => e.term -> e.df).toMap
+      case None => Catalog.readDictionary(spark, paths)
+        .filter($"term".isin(terms: _*))
+        .collect()
+        .map(d => d.term -> d.df)
+        .toMap
+    }
     // build from the RAW terms: boost suffixes must reach the weight parser
     QueryModel.build(rawTerms, stats.n_docs, dfByTerm, stats.avgdl, k, qAnalyzer, syn)
   }
@@ -646,10 +654,16 @@ object SearchEngine {
       return emptyHits(spark).select($"doc_id", round($"score", 4).as("score_r4"))
     val stTx = Catalog.readCorpusStats(spark, pathsTx)
     val stTi = Catalog.readCorpusStats(spark, pathsTi)
-    def dfs(paths: IndexPaths): Map[String, Long] =
-      Catalog.readDictionary(spark, paths)
-        .filter($"term".isin(terms.toSeq: _*))
-        .collect().map(d => d.term -> d.df).toMap
+    def dfs(paths: IndexPaths): Map[String, Long] = {
+      val termSet = terms.toSet
+      Catalog.dictEntriesCached(spark, paths) match {
+        case Some(entries) =>
+          entries.iterator.filter(e => termSet(e.term)).map(e => e.term -> e.df).toMap
+        case None => Catalog.readDictionary(spark, paths)
+          .filter($"term".isin(terms.toSeq: _*))
+          .collect().map(d => d.term -> d.df).toMap
+      }
+    }
     val (dfTx, dfTi) = (dfs(pathsTx), dfs(pathsTi))
     val idfBlend = terms.map(t =>
       Bm25.idf(stTx.n_docs, math.max(dfTx.getOrElse(t, 0L), dfTi.getOrElse(t, 0L))))
