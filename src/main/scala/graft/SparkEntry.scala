@@ -132,10 +132,13 @@ object SparkEntry {
     // table (DuckDB has no Porter; the token_counts_bpe pattern).
     "bm25_english" -> ((s, dir) => {
       val idx = IndexCache.englishIndex(s, dir)
-      import s.implicits._
-      val vocab = graft.io.Catalog.readDocuments(s, dir)
-        .flatMap(d => graft.core.Analyzer.tokenize(d.text))
-        .distinct().collect().sorted
+      // the oracle-generation vocabulary (standard-analyzed distinct corpus
+      // tokens) IS the standard documents index's dictionary term set —
+      // read it from the build artifact (memoized; zero-job under the dict
+      // byte gate) instead of re-tokenizing the corpus per query (r7)
+      val docIdx = IndexCache.documentsIndex(s, dir)
+      val vocab = graft.io.Catalog
+        .readDictionary(s, docIdx.paths).collect().map(_.term).sorted
       lastEnglishVocab = Some(vocab.toSeq.map(w =>
         (w, graft.core.En.Stopwords.contains(w), graft.core.En.stem(w))))
       SearchEngine.topKWandRounded(s, idx.paths.root,

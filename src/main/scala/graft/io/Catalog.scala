@@ -102,6 +102,22 @@ object Catalog {
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Inputs already split at least `numShufflePartitions` ways pass
+    * through; a narrower input (locally: one small parquet file → ONE scan
+    * task under every heavy per-row pass) is hash-repartitioned by `key`
+    * first (guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"). At production scale the
+    * corpus arrives in many files/row groups and this is a no-op — the
+    * tiny shuffle only ever pays where the alternative is a single-task
+    * stage. Use on operators whose per-row work (tokenize + hash + explode)
+    * dominates, not on cheap projections.
+    */
+  def ensureParallelism(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df
+    else df.repartition(parts, df.col(key))
+  }
+
   /** The DuckDB-oracled corpus: documents(doc_id, text, …). */
   def readDocuments(spark: SparkSession, sfDir: String): Dataset[Doc] = {
     import spark.implicits._

@@ -116,7 +116,8 @@ object Curation {
     if (record) recordBpeOracle(spark, sfDir, model)
     val bc = spark.sparkContext.broadcast(model)
     packByCounts(spark, budget,
-      Catalog.readDocuments(spark, sfDir)
+      Catalog.ensureParallelism(Catalog.readDocuments(spark, sfDir).toDF())
+        .as[graft.model.Doc]
         .map(d => (d.doc_id, bc.value.countText(d.text)))
         .toDF("doc_id", "n_tokens"))
   }

@@ -22,20 +22,12 @@ import graft.io.Catalog
   */
 object Dedup {
 
-  /** Distinct token trigram shingles per doc: (doc_id, s). Trigrams (not
-    * bigrams): the shingle space must be large enough that unrelated docs
-    * rarely co-occur — with the test corpus's 31-term vocabulary, bigram
-    * shingles made nearly every doc pair a candidate.
-    */
-  private def shingles(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs.select($"doc_id", Analyzer.tokensCol($"text").as("t"))
-      .select($"doc_id",
-        explode(array_distinct(
-          when(size($"t") >= 3,
-            expr("transform(sequence(0, size(t)-3), i -> concat(t[i], '_', t[i+1], '_', t[i+2]))"))
-            .otherwise(expr("array()")))).as("s"))
-  }
+  // Shingles are token TRIGRAMS (not bigrams): the shingle space must be
+  // large enough that unrelated docs rarely co-occur — with the test
+  // corpus's 31-term vocabulary, bigram shingles made nearly every doc
+  // pair a candidate. Per-doc shingle sets are built in
+  // [[shingleArraysTyped]] (typed tight loop; the old Column-DSL
+  // transform/array_distinct/explode chain was interpreted per element).
 
   /** Exact duplicate groups by content hash (keep-lowest-docID canonical). */
   def exactDups(spark: SparkSession, sfDir: String): DataFrame = {
@@ -47,20 +39,22 @@ object Dedup {
       .orderBy($"text_md5")
   }
 
-  /** Exact-Jaccard verification of candidate pairs only: shared-shingle
-    * counts restricted to the (small) candidate set, never the full n²/2.
+  /** Exact-Jaccard verification of candidate pairs only, against the
+    * per-doc shingle ARRAYS: i = |A ∩ B| and the sizes come from one
+    * `array_intersect`/`size` projection per candidate pair instead of the
+    * r6 shape's two shingle-keyed joins over the re-exploded corpus
+    * (guide §2.3: only candidate docs' arrays cross the joins, never
+    * per-shingle rows; both arrays are distinct by construction).
     */
-  private def verifyPairs(sh: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
-    import sh.sparkSession.implicits._
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"s"), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+  private def verifyPairsArrays(arrays: DataFrame, cand: DataFrame,
+      tau: Double): DataFrame = {
+    import arrays.sparkSession.implicits._
+    cand
+      .join(arrays.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(arrays.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sha", $"shb")).cast("long").as("i"),
+        size($"sha").cast("long").as("na"), size($"shb").cast("long").as("nb"))
       .select($"doc_a", $"doc_b",
         round($"i" * lit(1.0) / ($"na" + $"nb" - $"i"), 6).as("jaccard_r6"))
       .filter($"jaccard_r6" >= tau)
@@ -89,16 +83,37 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, tau: Double,
       maxShingleDf: Long = 1000L): DataFrame = {
     import spark.implicits._
-    val all = shingles(Catalog.readTable(spark, sfDir, "documents"))
-    val hot = all.groupBy($"s").agg(count(lit(1)).as("sdf"))
-      .filter($"sdf" > maxShingleDf).select($"s")
-    // left_anti against the (tiny) hot-shingle set; broadcast by size
-    val sh = all.join(broadcast(hot), Seq("s"), "left_anti")
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE shuffle of the shingle table, total (r7; guide §2.3/§2.4 — the r6
+    // shape computed the exploded shingle table five times: a df pass for
+    // the hot set, an anti-join, a size agg, and BOTH sides of a
+    // shingle-keyed self-join). Per shingle, one bounded aggregation yields
+    // (sdf, up to cap+1 carrying docs): shingles over the cap are dropped
+    // with their doc lists never fully materialized (state stays O(cap) even
+    // for boilerplate shared by millions of docs — the same constant-state
+    // contract as substringDups' TwoMinDistinctAgg); capped shingles emit
+    // their doc pairs directly (equivalent to the old self-join restricted
+    // to capped shingles, which is exactly what the anti-join enforced).
+    // Per-doc sizes come from the same aggregation's exchange (reused), so
+    // numerator and denominator stay consistently capped — semantics and
+    // oracle unchanged.
+    val keep = math.min(maxShingleDf + 1, Int.MaxValue.toLong).toInt
+    val st = shingleArraysTyped(spark, sfDir)
+      .select(explode($"sh").as("s"), $"doc_id").as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new DocsCapAgg(keep).toColumn.name("cd"))
+    val capped = st.filter(_._2._1 <= maxShingleDf).map(_._2._2)
+    val inter = capped
+      .flatMap { docs =>
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+        } yield (docs(i), docs(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("i"))
+    val sz = capped.flatMap(_.iterator).toDF("doc_id")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
@@ -108,27 +123,97 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Per-shingle (df, carrying docs capped at `keep`) in one pass — the
+    * [[ngramJaccardPairs]] aggregator. The doc list stops growing at `keep`
+    * entries (callers drop shingles with df over the cap, so a complete
+    * list only matters at or under it); the count is always exact. State is
+    * O(keep) regardless of how many docs share the shingle; mergeable in
+    * any order, so Spark runs it with map-side partials. The finished list
+    * is sorted for deterministic pair emission.
+    */
+  private final class DocsCapAgg(keep: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), (Long, List[Long]), (Long, Seq[Long])] {
+    override def zero: (Long, List[Long]) = (0L, Nil)
+    override def reduce(b: (Long, List[Long]), in: (String, Long)): (Long, List[Long]) =
+      (b._1 + 1, if (b._1 < keep) in._2 :: b._2 else b._2)
+    override def merge(a: (Long, List[Long]), b: (Long, List[Long])): (Long, List[Long]) =
+      (a._1 + b._1, (a._2 ++ b._2).take(keep))
+    override def finish(r: (Long, List[Long])): (Long, Seq[Long]) =
+      (r._1, r._2.sorted)
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[Long])]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
+  }
+
   /** MinHash + LSH near-dup detection: `numHashes` md5-seeded minhashes
     * (string-min — exact, portable), banded `rows`-per-band bucket keys,
     * bucket-join candidate pairs, exact Jaccard verification ≥ tau.
     */
+  private def hexOf(b: Array[Byte]): String = {
+    val hx = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(hx.charAt((b(i) >> 4) & 0xf)); sb.append(hx.charAt(b(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def ensureParallelism(df: DataFrame): DataFrame =
+    Catalog.ensureParallelism(df)
+
   def minhashLshPairs(spark: SparkSession, sfDir: String, tau: Double,
       numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     import spark.implicits._
-    val sh = shingles(Catalog.readTable(spark, sfDir, "documents"))
-
-    // minhash signatures: mh(doc, h) = min over shingles of md5("h:" + s)
-    val mh = sh
-      .withColumn("h", explode(expr(s"sequence(0, ${numHashes - 1})")))
-      .groupBy($"doc_id", $"h")
-      .agg(min(md5(concat($"h".cast("string"), lit(":"), $"s"))).as("mh"))
-
-    // band keys: md5 over the band's signature slots in h order
-    val bands = mh
-      .groupBy($"doc_id", ($"h" / rowsPerBand).cast("int").as("band"))
-      .agg(md5(concat_ws("|",
-        (0 until rowsPerBand).map(r =>
-          max(when(($"h" % rowsPerBand) === r, $"mh"))): _*)).as("bk"))
+    // ONE narrow typed pass per doc: tokenize → trigram shingles → per-hash
+    // min of md5("h:" + s) → band keys (r7; guide §2.3/§2.4 + §4). The r6
+    // shape exploded every (shingle × hash) pair and shuffled them through
+    // groupBy(doc_id, h) plus a second groupBy(doc_id, band) pivot — five
+    // corpus tokenizations overall; an intermediate array_min(transform(…))
+    // rewrite measured ~7 µs/element: array HOFs are NOT whole-stage-
+    // codegen'd (the embCosinePairs lesson), so the hash loop runs as JVM
+    // code on MessageDigest instead. Identical strings hash to identical
+    // hex (same md5, same lexicographic min — ASCII hex compares byte-wise
+    // in both engines), so signatures, candidates and the oracle are
+    // unchanged. Duplicate shingles cannot change a min, so the distinct
+    // step is skipped here (verification sizes use the distinct arrays).
+    // The tiny band table (nBands rows/doc) is cut with localCheckpoint so
+    // the self-join's two sides read it instead of re-running the pass.
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val docs = Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val bands = ensureParallelism(docs).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val t = Analyzer.tokenize(text).toArray
+          if (t.length < 3) Iterator.empty
+          else {
+            val mins = new Array[String](numHashes)
+            var i = 0
+            while (i < t.length - 2) {
+              val s = t(i) + "_" + t(i + 1) + "_" + t(i + 2)
+              var h = 0
+              while (h < numHashes) {
+                val hex = hexOf(md.digest((h.toString + ":" + s).getBytes("UTF-8")))
+                if (mins(h) == null || hex.compareTo(mins(h)) < 0) mins(h) = hex
+                h += 1
+              }
+              i += 1
+            }
+            (0 until nBands).iterator.map { b =>
+              val hi = math.min((b + 1) * rowsPerBand, numHashes)
+              val slots = (b * rowsPerBand until hi).map(mins).mkString("|")
+              (id, b, hexOf(md.digest(slots.getBytes("UTF-8"))))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bk")
+      .localCheckpoint()
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -137,7 +222,34 @@ object Dedup {
       .distinct()
 
     // exact verification restricted to the candidate pairs
-    verifyPairs(sh, cand, tau)
+    verifyPairsArrays(shingleArraysTyped(spark, sfDir), cand, tau)
+  }
+
+  /** (doc_id, distinct trigram shingle array) as a typed tight loop — the
+    * shingleArrays twin for heavy consumers (the Column-DSL transform/
+    * array_distinct chain is interpreted per element; this is the codegen-
+    * free-but-JVM-speed form). Insertion order of the distinct set is
+    * irrelevant to every consumer (intersection/size math).
+    */
+  private def shingleArraysTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ensureParallelism(Catalog.readTable(spark, sfDir, "documents")
+      .select($"doc_id", $"text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = Analyzer.tokenize(text).toArray
+          val set = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i < t.length - 2) {
+            set.add(t(i) + "_" + t(i + 1) + "_" + t(i + 2))
+            i += 1
+          }
+          val arr = new Array[String](set.size)
+          set.toArray(arr)
+          (id, arr.toSeq)
+        }
+      }
+      .toDF("doc_id", "sh")
   }
 
   /** Connected components over near-dup pairs → keep/drop decisions: the
@@ -165,6 +277,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, outPath: String): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // durableRounds=true restores the r6 per-round parquet write+read —
+    // set it on a cluster where a mid-iteration executor loss must not
+    // restart the whole clustering. The default round cut is
+    // localCheckpoint (eager): same lineage truncation, ONE job per round
+    // and no per-round FS round-trip, listing or cleanup (guide §5 —
+    // "localCheckpoint() is a cheaper way to cut lineage when fault
+    // tolerance of that intermediate is not critical"; a lost block here
+    // fails the query, never corrupts it, and the converged labels still
+    // publish durably to outPath below).
+    val durableRounds = spark.conf
+      .getOption("spark.graft.cc.durableRounds").exists(_.toBoolean)
     val edges = pairs
       .select($"doc_a".cast("long").as("u"), $"doc_b".cast("long").as("v"))
       .union(pairs.select($"doc_b".cast("long").as("u"), $"doc_a".cast("long").as("v")))
@@ -172,43 +295,65 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     def roundPath(r: Int) = s"$outPath-round$r"
-    edges.select($"u".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("label"))
-      .write.mode(SaveMode.Overwrite).parquet(roundPath(0))
+    // each localCheckpoint round unpersists its predecessor once it is
+    // materialized (the predecessor's blocks are dead the moment the next
+    // round exists), and dropLastCut() below releases the final round after
+    // the durable publish — the operator's no-persisted-blocks contract
+    // (DedupSpec) holds exactly as it did for the parquet rounds
+    var lastCut: Option[org.apache.spark.rdd.RDD[_]] = None
+    def dropLastCut(): Unit = {
+      lastCut.foreach(_.unpersist(blocking = false))
+      lastCut = None
+    }
+    def cut(df: DataFrame, r: Int): DataFrame =
+      if (durableRounds) {
+        df.write.mode(SaveMode.Overwrite).parquet(roundPath(r))
+        spark.read.parquet(roundPath(r))
+      } else {
+        val out = df.localCheckpoint()
+        val cp = out.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.headOption
+        dropLastCut()
+        lastCut = cp
+        out
+      }
 
     var round = 0
-    var labels = spark.read.parquet(roundPath(0))
+    var labels = cut(edges.select($"u".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label")), 0)
     var converged = labels.isEmpty // empty dup graph: no rounds
     while (!converged) {
       val neigh = edges
         .join(labels.select($"doc_id".as("u"), $"label"), "u")
         .groupBy($"v".as("doc_id")).agg(min($"label").as("nl"))
       round += 1
-      // convergence detected INSIDE the round's own write job: the new
-      // label is least(old, neighbor-min), so "changed" is visible row-
-      // locally — an accumulator counts it during the write instead of a
-      // separate read-back + join + count (2 extra jobs/round, VERDICT r2).
-      // Accumulator one-sidedness is safe here: a retried task can only
-      // over-count (→ one harmless extra round), never report 0 changes
-      // when a successful task changed a label.
+      // convergence detected INSIDE the round's own materialization job:
+      // the new label is least(old, neighbor-min), so "changed" is visible
+      // row-locally — an accumulator counts it during the checkpoint/write
+      // instead of a separate read-back + join + count (2 extra
+      // jobs/round, VERDICT r2). Accumulator one-sidedness is safe here: a
+      // retried task can only over-count (→ one harmless extra round),
+      // never report 0 changes when a successful task changed a label.
       val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_r$round")
-      labels.join(neigh, Seq("doc_id"), "left")
+      labels = cut(labels.join(neigh, Seq("doc_id"), "left")
         .select($"doc_id", $"label",
           least($"label", coalesce($"nl", $"label")).as("nl2"))
         .as[(Long, Long, Long)]
         .map { r => if (r._3 != r._2) changedAcc.add(1L); (r._1, r._3) }
-        .toDF("doc_id", "label")
-        .write.mode(SaveMode.Overwrite).parquet(roundPath(round))
-      labels = spark.read.parquet(roundPath(round)) // lineage cut
+        .toDF("doc_id", "label"), round)
       converged = changedAcc.value == 0L
     }
     edges.unpersist(blocking = false)
     labels.write.mode(SaveMode.Overwrite).parquet(outPath)
-    // clean up round files (Hadoop FS — works on local/HDFS/S3 alike)
-    val conf = spark.sparkContext.hadoopConfiguration
-    (0 to round).foreach { r =>
-      val p = new org.apache.hadoop.fs.Path(roundPath(r))
-      p.getFileSystem(conf).delete(p, true)
+    dropLastCut()
+    if (durableRounds) {
+      // clean up round files (Hadoop FS — works on local/HDFS/S3 alike)
+      val conf = spark.sparkContext.hadoopConfiguration
+      (0 to round).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(roundPath(r))
+        p.getFileSystem(conf).delete(p, true)
+      }
     }
 
     val lab = spark.read.parquet(outPath)
@@ -274,7 +419,7 @@ object Dedup {
     import spark.implicits._
     require(k >= 2 && minTokens >= k, "need k >= 2 and minTokens >= k")
     val gramExpr = (0 until k).map(j => s"t[i+$j]").mkString(", '_', ")
-    val grams = Catalog.readTable(spark, sfDir, "documents")
+    val grams = ensureParallelism(Catalog.readTable(spark, sfDir, "documents"))
       .select($"doc_id", Analyzer.tokensCol($"text").as("t"))
       .select($"doc_id", posexplode(
         when(size($"t") >= k,
@@ -283,15 +428,19 @@ object Dedup {
       .toDF("doc_id", "pos", "h")
       .select($"doc_id", $"pos".cast("long").as("pos"), $"h")
     // per-hash (m1, m2) = two lowest DISTINCT docs, in ONE constant-state
-    // typed aggregation (two longs per key, partial-merged map-side — never
-    // a per-hash doc list, and no second corpus pass for the second-min);
-    // a hash is cross-doc duplicated iff m2 is set
-    val dup = grams.select($"h", $"doc_id").as[(String, Long)]
-      .groupByKey(_._1)
-      .agg(new TwoMinDistinctAgg().toColumn.name("mm"))
-      .filter(_._2._2 != Long.MaxValue)
-      .map { case (h, (m1, m2)) => (h, m1, m2) }
-      .toDF("h", "m1", "m2")
+    // aggregation (two longs per key, partial-merged map-side — never a
+    // per-hash doc list, and no second corpus pass for the second-min);
+    // a hash is cross-doc duplicated iff m2 is set. r7: the aggregation is
+    // a RELATIONAL groupBy($"h") over a udaf-wrapped Aggregator instead of
+    // the old groupByKey(_._1) — identical merge logic, but the group key
+    // is now the plain `h` column, so the aggregation's shuffle is the
+    // same hashpartitioning(h) the occ join below needs and the exchange
+    // is planned once for both consumers (the typed-key exchange could
+    // never line up with the relational join's — guide §2.4).
+    val dup = grams.groupBy($"h")
+      .agg(udaf(new TwoMinDistinctAgg()).apply($"doc_id").as("mm"))
+      .select($"h", $"mm._1".as("m1"), $"mm._2".as("m2"))
+      .filter($"m2" =!= Long.MaxValue)
     val occ = grams.join(dup, "h")
       .select($"doc_id", $"pos",
         when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("dup_src"))
@@ -315,15 +464,15 @@ object Dedup {
     */
   private final class TwoMinDistinctAgg
       extends org.apache.spark.sql.expressions.Aggregator[
-        (String, Long), (Long, Long), (Long, Long)] {
+        Long, (Long, Long), (Long, Long)] {
     override def zero: (Long, Long) = (Long.MaxValue, Long.MaxValue)
     private def add(b: (Long, Long), d: Long): (Long, Long) =
       if (d == b._1 || d == b._2) b
       else if (d < b._1) (d, b._1)
       else if (d < b._2) (b._1, d)
       else b
-    override def reduce(b: (Long, Long), in: (String, Long)): (Long, Long) =
-      add(b, in._2)
+    override def reduce(b: (Long, Long), in: Long): (Long, Long) =
+      add(b, in)
     override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) = {
       val x = if (b._1 == Long.MaxValue) a else add(a, b._1)
       if (b._2 == Long.MaxValue) x else add(x, b._2)
@@ -337,23 +486,27 @@ object Dedup {
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tf = Catalog.readTable(spark, sfDir, "documents")
+    // ONE exchange (r7; guide §2.3): each bit's signed tally is its own
+    // aggregate column over the raw term occurrences — Σ_occurrences(±1)
+    // ≡ Σ_terms tf·(±1), exact integer arithmetic either way, so the
+    // fingerprints are bit-identical to the r6 shape (and the oracle),
+    // which exploded 32 rows per (doc, term) through a tf pre-aggregation
+    // plus a (doc, bit) aggregation — three exchanges and a 32× row blowup
+    // for the same 32 sums.
+    val contribCols = (0 until 32).map { b =>
+      sum(expr(
+        s"CAST((shiftright(instr('0123456789abcdef', substring(m, ${1 + b / 4}, 1)) - 1, ${3 - b % 4}) & 1) * 2 - 1 AS BIGINT)"))
+        .as(s"s$b")
+    }
+    val packed = (0 until 32).map(b =>
+      when(col(s"s$b") >= 0, lit(1L << (31 - b))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Catalog.readTable(spark, sfDir, "documents")
       .select($"doc_id", explode(Analyzer.tokensCol($"text")).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
-
-    tf
-      .withColumn("b", explode(expr("sequence(0, 31)")))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(md5(term), 1 + CAST(FLOOR(b / 4.0) AS INT), 1)) - 1"))
-      .withColumn("bit", expr("shiftright(nib, 3 - (b % 4)) & 1"))
-      .withColumn("contrib", $"tf" * ($"bit" * 2 - 1))
-      .groupBy($"doc_id", $"b")
-      .agg(sum($"contrib").as("sgn"))
-      .withColumn("bitval", when($"sgn" >= 0, 1L).otherwise(0L))
-      .withColumn("weighted", expr("bitval * shiftleft(CAST(1 AS BIGINT), 31 - b)"))
+      .select($"doc_id", md5($"term".cast("binary")).as("m"))
       .groupBy($"doc_id")
-      .agg(sum($"weighted").cast("long").as("simhash"))
+      .agg(contribCols.head, contribCols.tail: _*)
+      .select($"doc_id", packed.cast("long").as("simhash"))
       .orderBy($"doc_id")
   }
 }

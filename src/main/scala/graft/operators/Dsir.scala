@@ -33,7 +33,14 @@ object Dsir {
   private def features(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
       nBuckets: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", targetPred.as("is_target"),
+    // coalesce marks the bucket non-nullable (conv-of-md5 can never be null,
+    // so the fallback value is unreachable and results are unchanged):
+    // without it the downstream join's IsNotNull(bucket) pushed below this
+    // projection and re-derived md5+conv PER ROW a second time (guide §7.2
+    // duplicated-expression smell, visible as Filter isnotnull(conv(md5…))
+    // in the r6 plan). ensureParallelism: tokenize+md5 is the heavy pass.
+    Catalog.ensureParallelism(docs)
+      .select($"doc_id", targetPred.as("is_target"),
         Analyzer.tokensCol($"text").as("t"))
       .select($"doc_id", $"is_target",
         explode(concat($"t",
@@ -41,8 +48,8 @@ object Dsir {
             expr("transform(sequence(0, size(t)-2), i -> concat(t[i], '_', t[i+1]))"))
             .otherwise(expr("array()")))).as("ng"))
       .select($"doc_id", $"is_target",
-        (conv(substring(md5($"ng".cast("binary")), 1, 2), 16, 10)
-          .cast("int") % nBuckets).as("bucket"))
+        coalesce(conv(substring(md5($"ng".cast("binary")), 1, 2), 16, 10)
+          .cast("int") % nBuckets, lit(0)).as("bucket"))
   }
 
   /** Per-doc log importance weight vs the `targetSource` domain; top `k`

@@ -384,14 +384,56 @@ object EsAggs {
   def diversifiedSampler(spark: SparkSession, sfDir: String,
       maxPerKey: Int = 20): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    // bounded per-key bottom-N aggregator (O(maxPerKey) state, map-side
+    // partials) instead of the row_number window, which shuffled every doc
+    // by the low-cardinality source key and sorted each key in one task
+    // (r7; the topHitsByFacet/stratifiedSample shape — guide §2.3). The
+    // sample is the same first-N by doc_id; sub-metrics computed from the
+    // kept rows with identical arithmetic.
     Catalog.readTable(spark, sfDir, "documents")
       .select($"source", $"doc_id", $"n_chars")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= maxPerKey)
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_sampled"),
-        round(avg($"n_chars"), 4).as("avg_chars_r4"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new BottomNChars(maxPerKey).toColumn.name("picks"))
+      .map { case (source, picks) =>
+        (source, picks.length.toLong, picks.map(_._2).sum.toDouble / picks.length)
+      }
+      .toDF("source", "n_sampled", "avg_chars")
+      .select($"source", $"n_sampled", round($"avg_chars", 4).as("avg_chars_r4"))
       .orderBy($"source")
+  }
+
+  /** Bottom-`k` (doc_id asc) with the doc's n_chars — the
+    * [[diversifiedSampler]] aggregator (TopHitsAgg pattern).
+    */
+  private final class BottomNChars(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+
+    override def zero: List[(Long, Long)] = Nil
+
+    override def reduce(buf: List[(Long, Long)],
+        in: (String, Long, Long)): List[(Long, Long)] =
+      insert(buf, (in._2, in._3))
+
+    private def insert(buf: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
+      def ins(l: List[(Long, Long)]): List[(Long, Long)] = l match {
+        case Nil => e :: Nil
+        case h :: t => if (e._1 < h._1) e :: l else h :: ins(t)
+      }
+      if (buf.lengthCompare(k) >= 0 && e._1 >= buf.last._1) buf
+      else ins(buf).take(k)
+    }
+
+    override def merge(a: List[(Long, Long)],
+        b: List[(Long, Long)]): List[(Long, Long)] =
+      b.foldLeft(a)((acc, e) => insert(acc, e))
+
+    override def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = buf
+
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
   }
 }

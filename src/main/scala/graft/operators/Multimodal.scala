@@ -61,7 +61,9 @@ object Multimodal {
     */
   def syntheticPngs(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
+    // PNG encode (and the decode downstream) is the heavy per-row work —
+    // parallelize the one-file local scan instead of encoding serially
+    Catalog.ensureParallelism(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, text) =>

@@ -22,7 +22,7 @@ object Phrase {
     import spark.implicits._
     val terms = phrase.flatMap(Analyzer.tokenize(_))
     require(terms.nonEmpty, "empty phrase")
-    val pos = Catalog.readTable(spark, sfDir, "documents")
+    val pos = Catalog.ensureParallelism(Catalog.readTable(spark, sfDir, "documents"))
       .select($"doc_id", posexplode(Analyzer.tokensCol($"text")).as(Seq("pos", "term")))
       .filter($"term".isin(terms.distinct: _*))
 

@@ -139,16 +139,70 @@ object Relational {
 
   /** Ranking window: top-3 line items per supplier by extended price
     * (fully tiebroken so ranks are engine-independent).
+    *
+    * Executed as a bounded per-supplier top-N AGGREGATOR (ObjectHash-
+    * Aggregate, O(topN) state, map-side partials), not a `row_number`
+    * window: the window shuffled every lineitem row by the low-cardinality
+    * supplier key and sorted each supplier's rows in one task — the r3
+    * top_hits straggler shape already banished from topHitsByFacet and
+    * stratifiedSample (guide §2.3 "aggregate before you shuffle"). With
+    * partials, each input partition contributes at most topN rows per
+    * supplier to the exchange instead of all of them.
     */
   def topLineitemsPerSupplier(spark: SparkSession, sfDir: String, topN: Int = 3): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
     Catalog.readTable(spark, sfDir, "lineitem")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn" <= topN)
-      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"rn")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .as[(Long, Long, Int, Double)]
+      .groupByKey(_._1)
+      .agg(new TopLineAgg(topN).toColumn.name("top"))
+      .flatMap { case (sk, top) =>
+        top.iterator.zipWithIndex.map { case ((_, ok, ln), i) =>
+          (sk, ok, ln, (i + 1).toLong)
+        }
+      }
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "rn")
       .orderBy($"l_suppkey", $"rn")
+  }
+
+  /** Bounded per-supplier top-k by (price DESC, orderkey ASC, linenumber
+    * ASC) — the [[topLineitemsPerSupplier]] aggregator; the
+    * Aggregations.TopHitsAgg pattern.
+    */
+  private final class TopLineAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Int, Double), List[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
+
+    private def better(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+
+    override def zero: List[(Double, Long, Int)] = Nil
+
+    override def reduce(buf: List[(Double, Long, Int)],
+        in: (Long, Long, Int, Double)): List[(Double, Long, Int)] =
+      insert(buf, (in._4, in._2, in._3))
+
+    private def insert(buf: List[(Double, Long, Int)],
+        e: (Double, Long, Int)): List[(Double, Long, Int)] = {
+      def ins(l: List[(Double, Long, Int)]): List[(Double, Long, Int)] = l match {
+        case Nil => e :: Nil
+        case h :: t => if (better(e, h)) e :: l else h :: ins(t)
+      }
+      if (buf.lengthCompare(k) >= 0 && !better(e, buf.last)) buf
+      else ins(buf).take(k)
+    }
+
+    override def merge(a: List[(Double, Long, Int)],
+        b: List[(Double, Long, Int)]): List[(Double, Long, Int)] =
+      b.foldLeft(a)((acc, e) => insert(acc, e))
+
+    override def finish(buf: List[(Double, Long, Int)]): Seq[(Double, Long, Int)] = buf
+
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long, Int)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Int)]]()
   }
 
   /** TPC-H Q1-style pricing summary: partial+final hash aggregation. */

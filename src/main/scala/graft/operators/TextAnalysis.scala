@@ -98,7 +98,10 @@ object TextAnalysis {
     */
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // one unit per token: (doc, previous token or NULL at position 0, token)
+    // one unit per token: (doc, previous token or NULL at position 0, token).
+    // NO ensureParallelism here: units feeds several independent
+    // aggregation subtrees whose single-task stages the scheduler already
+    // overlaps (guide §2.6); a repartition per subtree measured slower.
     val units = Catalog.readTable(spark, sfDir, "documents")
       .select($"doc_id", Analyzer.tokensCol($"text").as("t"))
       .filter(size($"t") > 0)
@@ -192,11 +195,13 @@ object TextAnalysis {
     * over the ROUNDED per-doc values so both engines bucket identical
     * numbers.
     *
-    * The per-doc ppl table is needed twice (threshold agg + bucketing) —
-    * it is persisted for the query's lifetime so the whole LM pipeline runs
-    * once, not twice (guide §5; one narrow (doc_id, ppl) row per doc —
-    * MEMORY_AND_DISK spills rather than evicts at scale). The tercile
-    * percentile rides the [[Percentiles]] gate (exact under
+    * The per-doc ppl table is needed twice (threshold agg + bucketing);
+    * the two consumers deliberately recompute it rather than persist —
+    * a persisted ppl forces FULL materialization of every cached column,
+    * while the unpersisted plan lets each consumer prune to exactly what
+    * it needs (measured ~2× faster under a count-style action; a
+    * MEMORY_AND_DISK persist was tried and reverted, OPTIMIZATION_r07.md).
+    * The tercile percentile rides the [[Percentiles]] gate (exact under
     * `spark.graft.percentile.exactMaxBytes` of corpus bytes — every sandbox
     * SF — `approx_percentile` above it; VERDICT r6 What's-wrong #2).
     */
@@ -204,7 +209,6 @@ object TextAnalysis {
     import spark.implicits._
     val inBytes = Percentiles.tableBytes(s"$sfDir/documents.parquet")
     val ppl = lmPerplexity(spark, sfDir).select($"doc_id", $"ppl_r4")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = ppl.agg(
       round(Percentiles.pct(spark, inBytes, "ppl_r4", "CAST(1.0/3 AS DOUBLE)"), 6).as("t1"),
       round(Percentiles.pct(spark, inBytes, "ppl_r4", "CAST(2.0/3 AS DOUBLE)"), 6).as("t2"))
@@ -222,7 +226,7 @@ object TextAnalysis {
     */
   def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val grams = Catalog.readTable(spark, sfDir, "documents")
+    val grams = Catalog.ensureParallelism(Catalog.readTable(spark, sfDir, "documents"))
       .select($"doc_id", Analyzer.tokensCol($"text").as("t"))
       .select($"doc_id", posexplode(
         when(size($"t") >= 3,

@@ -19,7 +19,10 @@ object BruteForce {
   def topK(docs: DataFrame, rawTerms: Seq[String], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    scoreToks(docs.select($"doc_id", Analyzer.tokensCol($"text").as("toks")),
+    // the tokenized frame feeds several aggregations; parallelize the
+    // tokenize instead of running it as one scan task per consumer
+    scoreToks(graft.io.Catalog.ensureParallelism(docs)
+      .select($"doc_id", Analyzer.tokensCol($"text").as("toks")),
       rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted, k)
   }
 

@@ -90,4 +90,61 @@ class StreamingVectorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(finalSet == batch ++ freshAssigned)
   }
+
+  test("appends are atomic generations: the pre-batch generation never mutates") {
+    import spark.implicits._
+    val root = s"/tmp/graft-vecstream-${System.nanoTime()}/vec"
+    val centroids = Ivf.trainCentroids(spark, sfDir, nlist = 16)
+    val emb = Catalog.readTable(spark, sfDir, "embeddings")
+
+    StreamingVectors.ingestBatch(emb.filter($"vec_id" < 100).toDF(), root,
+      centroids, batchId = 0L)
+    val gen0 = StreamingVectors.listsPath(root)
+    val gen0Files = graft.io.Fs.listDataFiles(gen0)
+    val gen0Rows = spark.read.parquet(gen0).count()
+
+    // a reader that resolved gen0 before this append must keep seeing
+    // EXACTLY the pre-batch file set and rows (the r6 in-place Append
+    // mutated the live generation mid-listing)
+    StreamingVectors.ingestBatch(
+      emb.filter($"vec_id" >= 100 && $"vec_id" < 200).toDF(), root,
+      centroids, batchId = 1L)
+    assert(StreamingVectors.listsPath(root) != gen0,
+      "an append must publish a NEW generation")
+    assert(graft.io.Fs.listDataFiles(gen0) == gen0Files,
+      "the superseded generation's files must be untouched")
+    assert(spark.read.parquet(gen0).count() == gen0Rows)
+  }
+
+  test("replay after a crash between lists publish and cursor publish does not duplicate") {
+    import spark.implicits._
+    val root = s"/tmp/graft-vecstream-${System.nanoTime()}/vec"
+    val centroids = Ivf.trainCentroids(spark, sfDir, nlist = 16)
+    val emb = Catalog.readTable(spark, sfDir, "embeddings")
+    val b0 = emb.filter($"vec_id" < 100).toDF()
+    val b1 = emb.filter($"vec_id" >= 100 && $"vec_id" < 200).toDF()
+
+    StreamingVectors.ingestBatch(b0, root, centroids, batchId = 0L)
+    StreamingVectors.ingestBatch(b1, root, centroids, batchId = 1L)
+    val rows = spark.read.parquet(StreamingVectors.listsPath(root)).count()
+
+    // simulate the crash window: lists generation for batch 1 is live
+    // (with its _batch_1 marker) but the cursor still says 0
+    Seq(StreamingVectors.VecMeta(centroids.length, 0L)).toDS()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${StreamingVectors.metaBase(root)}_staging")
+    graft.io.Fs.publishVersion(StreamingVectors.metaBase(root),
+      s"${StreamingVectors.metaBase(root)}_staging")
+
+    // the streaming replay of batch 1: marker catches it — no re-append,
+    // cursor re-advances
+    StreamingVectors.ingestBatch(b1, root, centroids, batchId = 1L)
+    assert(spark.read.parquet(StreamingVectors.listsPath(root)).count() == rows,
+      "crash-window replay must not duplicate assignment rows")
+    // and a THIRD batch still appends normally afterwards
+    StreamingVectors.ingestBatch(
+      emb.filter($"vec_id" >= 200 && $"vec_id" < 250).toDF(), root,
+      centroids, batchId = 2L)
+    assert(spark.read.parquet(StreamingVectors.listsPath(root)).count() > rows)
+  }
 }
