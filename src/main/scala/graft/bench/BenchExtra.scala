@@ -37,10 +37,12 @@ object BenchExtra {
 
     val out = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
+      val countMode = args.lift(2).contains("count")
       val ts = (1 to repeats).map { i =>
         spark.sparkContext.setJobDescription(s"$name#$i")
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (countMode) fn(spark, sfDir).count()
+        else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       spark.sparkContext.setJobDescription(null)

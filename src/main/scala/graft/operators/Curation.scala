@@ -116,8 +116,7 @@ object Curation {
     if (record) recordBpeOracle(spark, sfDir, model)
     val bc = spark.sparkContext.broadcast(model)
     packByCounts(spark, budget,
-      Catalog.ensureParallelism(Catalog.readDocuments(spark, sfDir).toDF())
-        .as[graft.model.Doc]
+      Catalog.readDocuments(spark, sfDir)
         .map(d => (d.doc_id, bc.value.countText(d.text)))
         .toDF("doc_id", "n_tokens"))
   }

@@ -19,10 +19,10 @@ object BruteForce {
   def topK(docs: DataFrame, rawTerms: Seq[String], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the tokenized frame feeds several aggregations; parallelize the
-    // tokenize instead of running it as one scan task per consumer
-    scoreToks(graft.io.Catalog.ensureParallelism(docs)
-      .select($"doc_id", Analyzer.tokensCol($"text").as("toks")),
+    // no ensureParallelism: the tokenized frame feeds several independent
+    // aggregation subtrees whose single-task stages the scheduler overlaps;
+    // a repartition per subtree measured slower on the driver bench
+    scoreToks(docs.select($"doc_id", Analyzer.tokensCol($"text").as("toks")),
       rawTerms.flatMap(Analyzer.tokenize(_)).distinct.sorted, k)
   }
 
