@@ -106,6 +106,12 @@ object Analyzer {
     // than EdgeMax matches via its EdgeMax-prefix gram, the closest public
     // analog of ES's prefix behavior on search_as_you_type (ADVICE r5: the
     // plain `standard` search form silently matched NOTHING past EdgeMax).
+    // DOCUMENTED DIVERGENCE (ADVICE r6): the truncation OVER-matches vs ES
+    // for terms past EdgeMax — "windowing" matches any doc whose token
+    // starts with its EdgeMax prefix ("windo…"), where real
+    // search_as_you_type falls back to full-term matching on the root
+    // field. Engine and oracle share the truncation, so the harness is
+    // self-consistent; a root-field fallback is the faithful upgrade.
     case "edge_search" => tokenize(text).map(t =>
       if (t.length > EdgeMax) t.substring(0, EdgeMax) else t)
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")

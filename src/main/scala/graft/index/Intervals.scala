@@ -176,6 +176,13 @@ object Intervals {
         // (ES queries carry 2–4 clauses), so trying every arrangement of
         // the ordered chain is exact and O(m!) with tiny m; the 24-perm cap
         // (m ≤ 4) is asserted rather than silently truncated.
+        // DOCUMENTED DIVERGENCE (ADVICE r6): every permutation is evaluated
+        // as a NON-OVERLAPPING ordered chain, while Lucene's
+        // UnorderedIntervalsSource permits overlapping sub-intervals — a
+        // doc whose only qualifying arrangement overlaps is a false
+        // negative here vs ES. No shipped query takes this path; the
+        // restriction is the contract until an overlap-allowing
+        // combination is implemented.
         require(subs.length <= 4, "unordered all_of supports up to 4 sources")
         val raw = subs.permutations.flatMap { order =>
           eval(IAllOf(order.map(Lit(_)).toSeq, maxGaps, ordered = true), pos).toSeq
@@ -200,7 +207,7 @@ object Intervals {
     val terms = src.terms.distinct
     val qBuckets = terms.map(Blocks.bucketOf(_, buckets)).distinct
     val bcSrc = spark.sparkContext.broadcast(src)
-    spark.read.parquet(PositionalIndex.pathOf(root))
+    PositionalIndex.readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(terms: _*))

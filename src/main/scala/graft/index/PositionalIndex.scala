@@ -35,6 +35,15 @@ object PositionalIndex {
 
   def pathOf(root: String): String = s"$root/pos_postings"
 
+  // explicit read schema: skips per-query footer schema inference (the
+  // Catalog.readPostings rationale); `bucket` is the partition dir column
+  private lazy val posSchema =
+    org.apache.spark.sql.Encoders.product[PosBlock].schema
+
+  private[index] def readRaw(spark: SparkSession,
+      root: String): org.apache.spark.sql.DataFrame =
+    spark.read.schema(posSchema).parquet(pathOf(root))
+
   /** Grid SPIMI over (term → [(doc, positions)]), mirroring
     * Spimi.buildBlocksGrid's invariants (disjoint contiguous grid runs).
     */
@@ -192,7 +201,7 @@ object PositionalIndex {
     val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
     val termIdx = terms.zipWithIndex // term -> offset(s) in the phrase
 
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms: _*))
@@ -248,7 +257,7 @@ object PositionalIndex {
     val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
     val maxSpan = (terms.length - 1) + slop
 
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms: _*))
@@ -317,7 +326,7 @@ object PositionalIndex {
     val distinctTerms = terms.distinct
     val qBuckets = distinctTerms.map(Blocks.bucketOf(_, buckets)).distinct
     val n = terms.length
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms: _*))
@@ -353,7 +362,7 @@ object PositionalIndex {
     val allTerms = (inc ++ exc).distinct
     val qBuckets = allTerms.map(Blocks.bucketOf(_, buckets)).distinct
     val (li, le) = (inc.length, exc.length)
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(allTerms: _*))
@@ -392,7 +401,7 @@ object PositionalIndex {
     require(analyzed.nonEmpty && analyzed.forall(_.nonEmpty), "empty span_or")
     val allTerms = analyzed.flatten.distinct
     val qBuckets = allTerms.map(Blocks.bucketOf(_, buckets)).distinct
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(allTerms: _*))
@@ -433,7 +442,7 @@ object PositionalIndex {
     val maxSpan = 1 + slop
     val allTerms = (lit :+ ta :+ tb).distinct
     val qBuckets = allTerms.map(Blocks.bucketOf(_, buckets)).distinct
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(allTerms: _*))
@@ -498,7 +507,7 @@ object PositionalIndex {
     val termIdx = terms.zipWithIndex.toMap
     val bcIdx = spark.sparkContext.broadcast(termIdx)
 
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(terms: _*))
@@ -577,7 +586,7 @@ object PositionalIndex {
     val leadIdx = lead.zipWithIndex
     val expSet = expansions.toSet
 
-    spark.read.parquet(pathOf(root))
+    readRaw(spark, root)
       .select("term", "bucket", "run_id", "block_idx", "first_doc", "last_doc",
         "n_docs", "doc_deltas_vb", "pos_lens_vb", "pos_deltas_vb")
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(distinctTerms.toSeq: _*))
