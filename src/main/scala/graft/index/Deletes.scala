@@ -67,7 +67,7 @@ object Deletes {
     if (!hasDeletes(paths)) df
     else df.join(
       org.apache.spark.sql.functions.broadcast(
-        spark.read.parquet(paths.deletes).select("doc_id")),
+        graft.io.Catalog.readParquet(spark, paths.deletes).select("doc_id")),
       Seq("doc_id"), "left_anti")
   }
 

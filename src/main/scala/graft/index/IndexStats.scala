@@ -40,7 +40,7 @@ object IndexStats {
     val paths = IndexPaths(root)
     val meta = Indexer.readMeta(spark, root)
     val stats = Catalog.readCorpusStats(spark, paths)
-    val phys = spark.read.parquet(paths.postings)
+    val phys = graft.io.Catalog.readParquet(spark, paths.postings)
       .agg(count(lit(1)).as("blocks"),
         approx_count_distinct(concat_ws("#", $"term", $"run_id")).as("runs"),
         sum($"n_docs").as("postings"))

@@ -99,8 +99,24 @@ object Catalog {
 
   // ---- corpus sources ------------------------------------------------------
 
+  // per-JVM parquet-schema memo, keyed like the artifact memos below by
+  // (path, file fingerprint): schema inference reads parquet footers on
+  // the driver per read (~30–80 ms here), and every query re-reads the
+  // same immutable tables/artifacts. A changed file set re-infers.
+  private val schemaMemo = new scala.collection.concurrent.TrieMap[
+    (String, String), org.apache.spark.sql.types.StructType]
+
+  /** `spark.read.parquet(path)` with the schema served from the per-JVM
+    * memo — footer inference runs once per (path, fingerprint).
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaMemo.getOrElseUpdate((path, fingerprint(path)),
+      spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readParquet(spark, s"$sfDir/$name.parquet")
 
   /** Inputs already split at least `numShufflePartitions` ways pass
     * through; a narrower input (locally: one small parquet file → ONE scan

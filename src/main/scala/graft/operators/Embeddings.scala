@@ -136,7 +136,7 @@ object Embeddings {
     import spark.implicits._
     val emb = Catalog.readTable(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
     val buckets = bucketsPath
-      .map(p => spark.read.parquet(p))
+      .map(p => Catalog.readParquet(spark, p))
       .getOrElse(lshBuckets(emb, planes))
     val probeCols = col("bucket") +: (0 until planes).map(i =>
       expr(s"bucket ^ shiftleft(CAST(1 AS BIGINT), $i)"))
@@ -187,7 +187,7 @@ object Embeddings {
     import spark.implicits._
     val emb = Catalog.readTable(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
     val buckets = bucketsPath
-      .map(p => spark.read.parquet(p))
+      .map(p => Catalog.readParquet(spark, p))
       .getOrElse(lshBuckets(emb, planes))
     val probeCols = col("bucket") +: (0 until planes).map(i =>
       expr(s"bucket ^ shiftleft(CAST(1 AS BIGINT), $i)"))

@@ -162,7 +162,7 @@ object Ivf {
     val filtered = emb
       .filter($"label" === labelEq && $"vec_id" =!= probeId)
       .select($"vec_id", $"embedding")
-    val cands = spark.read.parquet(listsPath)
+    val cands = graft.io.Catalog.readParquet(spark, listsPath)
       .filter($"list_id".isin(probeLists.map(Integer.valueOf): _*))
       .select($"vec_id")
       .join(filtered, "vec_id") // predicate ∩ probe — both scan-pruned
@@ -192,7 +192,7 @@ object Ivf {
     val dot = "aggregate(zip_with(embedding, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     val n2 = "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     val p2 = "aggregate(zip_with(pe, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    val cands = spark.read.parquet(listsPath)
+    val cands = graft.io.Catalog.readParquet(spark, listsPath)
       .filter($"list_id".isin(probeLists.map(Integer.valueOf): _*)) // pushed to the scan
       .select($"vec_id")
     if (record)

@@ -180,7 +180,7 @@ object IvfPq {
     }
     val bcTable = spark.sparkContext.broadcast(table)
     val bcQc = spark.sparkContext.broadcast(qcDot)
-    val adc = spark.read.parquet(codesPath)
+    val adc = graft.io.Catalog.readParquet(spark, codesPath)
       .filter($"list_id".isin(probeLists.map(Integer.valueOf): _*)) // scan prune
       .filter($"vec_id" =!= probeId)
       .select($"vec_id".cast("long"), $"list_id", $"codes", $"norm")

@@ -166,7 +166,7 @@ object TextAnalysis {
       .map(_.toLong).getOrElse(DefaultLmBroadcastMax)
     def gated(df: DataFrame): DataFrame =
       if (vocab <= broadcastMax) broadcast(df) else df
-    val big = spark.read.parquet(paths.bigrams)
+    val big = Catalog.readParquet(spark, paths.bigrams)
     val units = Catalog.readTable(spark, sfDir, "documents")
       .select($"doc_id", Analyzer.tokensCol($"text").as("t"))
       .filter(size($"t") > 0)

@@ -22,7 +22,7 @@ object Booleans {
     import spark.implicits._
     val meta = Indexer.readMeta(spark, root)
     val b = Blocks.bucketOf(term, meta.buckets)
-    spark.read.parquet(IndexPaths(root).postings)
+    Catalog.readParquet(spark, IndexPaths(root).postings)
       .filter($"bucket" === b && $"term" === term)
       .select($"n_docs", $"doc_deltas_vb")
       .as[(Int, Array[Byte])]

@@ -396,7 +396,7 @@ object SearchEngine {
       // — the scorer treats both identically (exact eval-time rejection)
       val dels =
         (if (!graft.index.Deletes.hasDeletes(paths)) None
-         else Some(tagged(spark.read.parquet(paths.deletes), false))) ++
+         else Some(tagged(Catalog.readParquet(spark, paths.deletes), false))) ++
           excludedDocs.map(tagged(_, false))
       val allow = allowedDocs.map(tagged(_, true))
       (dels ++ allow).reduceOption(_ union _)

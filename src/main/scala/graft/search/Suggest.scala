@@ -99,7 +99,7 @@ object Suggest {
   def completion(spark: SparkSession, completionPath: String, prefix: String,
       context: String, n: Int = 5): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(completionPath)
+    graft.io.Catalog.readParquet(spark, completionPath)
       .filter($"context" === context && $"term".startsWith(prefix))
       .orderBy($"df".desc, $"term".asc)
       .limit(n)

@@ -30,7 +30,7 @@ object TermQueries {
     if (terms.isEmpty) return spark.emptyDataset[Long].toDF("doc_id")
     val meta = Indexer.readMeta(spark, root)
     val qBuckets = terms.map(Blocks.bucketOf(_, meta.buckets)).distinct
-    spark.read.parquet(IndexPaths(root).postings)
+    Catalog.readParquet(spark, IndexPaths(root).postings)
       .filter($"bucket".isin(qBuckets: _*) && $"term".isin(terms: _*))
       .select($"n_docs", $"doc_deltas_vb")
       .as[(Int, Array[Byte])]
