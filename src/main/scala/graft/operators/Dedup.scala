@@ -97,11 +97,15 @@ object Dedup {
     // numerator and denominator stay consistently capped — semantics and
     // oracle unchanged.
     val keep = math.min(maxShingleDf + 1, Int.MaxValue.toLong).toInt
+    // relational groupBy over the udaf-wrapped aggregator (the
+    // substringDups conversion): the column group key skips groupByKey's
+    // per-row tuple deserialization and keyBy closure
     val st = shingleArraysTyped(spark, sfDir)
-      .select(explode($"sh").as("s"), $"doc_id").as[(String, Long)]
-      .groupByKey(_._1)
-      .agg(new DocsCapAgg(keep).toColumn.name("cd"))
-    val capped = st.filter(_._2._1 <= maxShingleDf).map(_._2._2)
+      .select(explode($"sh").as("s"), $"doc_id")
+      .groupBy($"s")
+      .agg(udaf(new DocsCapAgg(keep)).apply($"doc_id").as("cd"))
+    val capped = st.filter($"cd._1" <= maxShingleDf)
+      .select($"cd._2").as[Seq[Long]]
     val inter = capped
       .flatMap { docs =>
         for {
@@ -133,10 +137,10 @@ object Dedup {
     */
   private final class DocsCapAgg(keep: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (String, Long), (Long, List[Long]), (Long, Seq[Long])] {
+        Long, (Long, List[Long]), (Long, Seq[Long])] {
     override def zero: (Long, List[Long]) = (0L, Nil)
-    override def reduce(b: (Long, List[Long]), in: (String, Long)): (Long, List[Long]) =
-      (b._1 + 1, if (b._1 < keep) in._2 :: b._2 else b._2)
+    override def reduce(b: (Long, List[Long]), in: Long): (Long, List[Long]) =
+      (b._1 + 1, if (b._1 < keep) in :: b._2 else b._2)
     override def merge(a: (Long, List[Long]), b: (Long, List[Long])): (Long, List[Long]) =
       (a._1 + b._1, (a._2 ++ b._2).take(keep))
     override def finish(r: (Long, List[Long])): (Long, Seq[Long]) =
