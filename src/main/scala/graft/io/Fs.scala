@@ -65,7 +65,12 @@ object Fs {
     val ptr = new Path(s"$base.ptr")
     if (!fs.exists(ptr)) base
     else {
-      val in = fs.open(ptr)
+      // exists→open race belt: with the ATOMIC_MOVE pointer flip the file
+      // never vanishes, but a remote FS could still surface a transient
+      // not-found between the two calls — one re-resolve covers it
+      val in =
+        try fs.open(ptr)
+        catch { case _: java.io.FileNotFoundException => return resolveVersioned(base) }
       val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       base + v
@@ -104,9 +109,28 @@ object Fs {
     rawFs.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
     rawFs.delete(new Path(ptrPath.getParent, s".${ptrPath.getName}.crc"), false)
     val qtmp = fs.makeQualified(tmp)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qtmp.toUri, conf())
-    fc.rename(qtmp, fs.makeQualified(new Path(s"$base.ptr")),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val qptr = fs.makeQualified(ptrPath)
+    if (qptr.toUri.getScheme == "file") {
+      // POSIX rename(2) via NIO ATOMIC_MOVE. FileContext.rename(OVERWRITE)
+      // is NOT atomic on the local filesystem: AbstractFileSystem's default
+      // overwrite path DELETES the destination and then renames, leaving a
+      // window with no pointer at all — a concurrent reader resolving in
+      // that window fell back to the base path, which generation retention
+      // deletes from the second publish on (surfaced by StreamingSpec's
+      // concurrent-swap test once the round-7 query speedups raised the
+      // resolution rate; the r6 comment's atomicity claim was wrong for
+      // local FS).
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qtmp.toUri.getPath),
+        java.nio.file.Paths.get(qptr.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } else {
+      // HDFS & friends: FileContext rename with OVERWRITE is atomic
+      // server-side
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qtmp.toUri, conf())
+      fc.rename(qtmp, qptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     // retain exactly one previous generation for in-flight readers
     if (n == 2) fs.delete(basePath, true): Unit
     if (n > 2) fs.delete(new Path(s"${base}_v${n - 2}"), true): Unit
